@@ -1,0 +1,139 @@
+"""GATv2 convolution (Brody et al. 2022), TPU-native.
+
+Multi-head dynamic attention over edges:
+
+``score_e = sum_f att[h, f] * leaky_relu(h_i + h_j)[f]`` per head, softmaxed
+per receiver, then an attention-weighted sum-aggregation of ``h_j``.
+
+Parity contract with the reference
+(/root/reference/src/keras_geometric/layers/gatv2_conv.py:11-399):
+
+- one *shared* linear transform for source and target nodes
+  (gatv2_conv.py:95-100, 224-239);
+- attention: ``a^T LeakyReLU(h_i + h_j)`` per head (gatv2_conv.py:276-284);
+- per-receiver softmax with max-shift and ``+1e-10`` denominator
+  (gatv2_conv.py:291-311);
+- attention dropout during training (gatv2_conv.py:252-253);
+- heads concatenated (default) or averaged, bias added after the merge
+  (gatv2_conv.py:337-352);
+- self-loops appended by default; empty/no-edge graphs return zeros
+  (gatv2_conv.py:196-212).
+
+The per-edge score computation is SDDMM-shaped; the softmax + weighted
+aggregation is a segmented softmax fused with SpMM. Both map onto the
+kernels tier when receiver-sorted structure is provided.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.graph_ops import add_self_loops, ensure_edge_index
+from ..ops.segment import segment_softmax, segment_sum
+from .module import Module, dropout, get_initializer
+
+__all__ = ["GATv2Conv"]
+
+
+@dataclasses.dataclass(frozen=True)
+class GATv2Conv(Module):
+    """GATv2 multi-head attention convolution."""
+
+    output_dim: int
+    heads: int = 1
+    concat: bool = True
+    negative_slope: float = 0.2
+    dropout: float = 0.0
+    use_bias: bool = True
+    add_self_loops: bool = True
+    kernel_initializer: str = "glorot_uniform"
+    bias_initializer: str = "zeros"
+    att_initializer: str = "glorot_uniform"
+
+    def init(self, rng: jax.Array, input_dim: int, dtype=jnp.float32) -> dict:
+        k_kernel, k_att, k_bias = jax.random.split(rng, 3)
+        h, f = self.heads, self.output_dim
+        params = {
+            "kernel": get_initializer(self.kernel_initializer)(
+                k_kernel, (input_dim, h * f), dtype
+            ),
+            "att": get_initializer(self.att_initializer)(k_att, (1, h, f), dtype),
+        }
+        if self.use_bias:
+            bias_shape = (h * f,) if self.concat else (f,)
+            params["bias"] = get_initializer(self.bias_initializer)(
+                k_bias, bias_shape, dtype
+            )
+        return params
+
+    @property
+    def out_features(self) -> int:
+        return self.heads * self.output_dim if self.concat else self.output_dim
+
+    def apply(
+        self,
+        params: dict,
+        x: jax.Array | tuple[jax.Array, jax.Array],
+        edge_index: jax.Array,
+        *,
+        edge_mask: jax.Array | None = None,
+        node_mask: jax.Array | None = None,
+        training: bool = False,
+        rng: jax.Array | None = None,
+        return_attention: bool = False,
+    ):
+        if isinstance(x, (tuple, list)):
+            x_target, x_source = x[0], x[1]
+        else:
+            x_target = x_source = x
+        n = x_target.shape[0]
+        h, f = self.heads, self.output_dim
+
+        if n == 0 or edge_index.size == 0:
+            out = jnp.zeros((n, self.out_features), dtype=x_target.dtype)
+            return (out, None) if return_attention else out
+
+        edge_index = ensure_edge_index(edge_index)
+        if self.add_self_loops:
+            edge_index, edge_mask = add_self_loops(
+                edge_index, n, edge_mask=edge_mask, node_mask=node_mask
+            )
+
+        # Shared transform for both endpoints: [N, H*F] -> [N, H, F].
+        ht = (x_target @ params["kernel"]).reshape(n, h, f)
+        if x_source is x_target:
+            hs = ht
+        else:
+            hs = (x_source @ params["kernel"]).reshape(x_source.shape[0], h, f)
+
+        senders, receivers = edge_index[0], edge_index[1]
+        h_j = jnp.take(hs, senders, axis=0)  # [E, H, F]
+        h_i = jnp.take(ht, receivers, axis=0)  # [E, H, F]
+
+        # SDDMM-shaped scores: [E, H].
+        z = jax.nn.leaky_relu(h_i + h_j, negative_slope=self.negative_slope)
+        scores = jnp.sum(z * params["att"], axis=-1)
+
+        alpha = segment_softmax(
+            scores, receivers, n, mask=edge_mask, eps=1e-10
+        )
+        alpha = dropout(rng, alpha, self.dropout, training)
+
+        messages = alpha[:, :, None] * h_j  # [E, H, F]
+        agg = segment_sum(
+            messages.reshape(-1, h * f),
+            receivers,
+            n,
+            mask=edge_mask,
+        ).reshape(n, h, f)
+
+        if self.concat:
+            out = agg.reshape(n, h * f)
+        else:
+            out = jnp.mean(agg, axis=1)
+        if self.use_bias:
+            out = out + params["bias"]
+        return (out, alpha) if return_attention else out
