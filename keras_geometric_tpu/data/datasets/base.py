@@ -27,17 +27,24 @@ from ...utils.data_utils import GraphData
 __all__ = ["Dataset", "download_url"]
 
 
-def download_url(url: str, path: str, *, retries: int = 3) -> str:
-    """Download ``url`` to ``path`` with simple retry/backoff."""
+def download_url(url: str, path: str, *, retries: int = 3, timeout: float = 30.0) -> str:
+    """Download ``url`` to ``path`` with retry/backoff and a socket timeout
+    (the reference hangs forever on dead networks, citation.py:100-102)."""
     if os.path.exists(path):
         return path
     os.makedirs(os.path.dirname(path), exist_ok=True)
     last_err: Exception | None = None
     for attempt in range(retries):
         try:
-            urllib.request.urlretrieve(url, path)
+            tmp = path + ".part"
+            with urllib.request.urlopen(url, timeout=timeout) as resp, open(
+                tmp, "wb"
+            ) as out:
+                while chunk := resp.read(1 << 20):
+                    out.write(chunk)
+            os.replace(tmp, path)
             return path
-        except (urllib.error.URLError, OSError) as err:  # pragma: no cover
+        except (urllib.error.URLError, OSError, TimeoutError) as err:  # pragma: no cover
             last_err = err
             time.sleep(2**attempt)
     raise RuntimeError(

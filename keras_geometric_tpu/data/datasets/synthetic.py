@@ -62,10 +62,25 @@ def synthetic_planetoid(name: str = "cora", seed: int = 0) -> GraphData:
         raise ValueError(f"Unknown planetoid dataset: {name}")
     n, e, f, c = PLANETOID_STATS[name]
     rng = np.random.default_rng(seed)
-    g = synthetic_graph(n, e, f, num_classes=c, seed=seed)
-    # Make labels weakly learnable: tie a slice of features to the label.
-    x = g.x
-    x[np.arange(n), g.y] += 2.0
+    y = rng.integers(0, c, size=n).astype(np.int32)
+    # Homophilous edges (like real citation graphs): 80% of edges connect
+    # same-label nodes, so neighbor aggregation reinforces the signal.
+    n_undirected = e // 2
+    senders = rng.integers(0, n, size=n_undirected)
+    receivers = np.empty(n_undirected, np.int64)
+    same = rng.random(n_undirected) < 0.8
+    by_label = [np.where(y == cls)[0] for cls in range(c)]
+    receivers[~same] = rng.integers(0, n, size=int((~same).sum()))
+    for cls in range(c):
+        sel = same & (y[senders] == cls)
+        receivers[sel] = rng.choice(by_label[cls], size=int(sel.sum()))
+    edge_index = np.stack(
+        [np.concatenate([senders, receivers]), np.concatenate([receivers, senders])]
+    ).astype(np.int32)
+    # Weak per-class feature signal on top of noise.
+    x = rng.standard_normal((n, f)).astype(np.float32)
+    x[np.arange(n), y % f] += 2.0
+    g = GraphData(x=x, edge_index=edge_index, y=y)
     train_mask = np.zeros(n, bool)
     for cls in range(c):
         ids = np.where(g.y == cls)[0]

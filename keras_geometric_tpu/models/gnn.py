@@ -1,0 +1,213 @@
+"""Standard multi-layer GNN model families.
+
+The reference leaves model composition to user code / docs tutorials
+(docs/tutorials/node_classification.md:95-183, examples/*.py); here the
+canonical stacks are first-class modules so the training tier, benchmarks,
+and distributed executor all share one definition.
+
+Each encoder is a stack of conv layers with inter-layer activation and
+(optionally) dropout; ``GraphClassifier`` adds a batched readout + dense
+head (mirroring the reference's GIN graph-classification integration test,
+tests/integration/test_model_integration.py:124-161).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+from ..nn.gatv2_conv import GATv2Conv
+from ..nn.gcn_conv import GCNConv
+from ..nn.gin_conv import GINConv
+from ..nn.module import Dense, Module, get_activation
+from ..nn.pooling.global_pooling import batch_pool
+from ..nn.sage_conv import SAGEConv
+
+__all__ = ["GNNEncoder", "GCN", "GIN", "GAT", "GraphSAGE", "GraphClassifier"]
+
+
+def _split(rng: jax.Array | None, n: int):
+    if rng is None:
+        return [None] * n
+    return list(jax.random.split(rng, n))
+
+
+@dataclasses.dataclass(frozen=True)
+class GNNEncoder(Module):
+    """A stack of conv layers with inter-layer activation.
+
+    ``conv``: layer family name ('gcn' | 'gin' | 'gatv2' | 'sage').
+    ``hidden_dims``: output dim of each layer (last entry = output dim).
+    The final layer gets no activation (logits-friendly).
+    """
+
+    conv: str
+    hidden_dims: tuple[int, ...]
+    activation: str | None = "relu"
+    dropout_rate: float = 0.0
+    final_activation: str | None = None
+    conv_kwargs: tuple[tuple[str, Any], ...] = ()
+
+    def __post_init__(self):
+        object.__setattr__(self, "hidden_dims", tuple(self.hidden_dims))
+        object.__setattr__(
+            self,
+            "conv_kwargs",
+            tuple(sorted(dict(self.conv_kwargs).items())),
+        )
+        if not self.hidden_dims:
+            raise ValueError("hidden_dims must be non-empty")
+        if self.conv not in ("gcn", "gin", "gatv2", "sage"):
+            raise ValueError(f"Unknown conv family: {self.conv}")
+
+    def _layer(self, dim: int) -> Module:
+        kwargs = dict(self.conv_kwargs)
+        if self.conv == "gcn":
+            return GCNConv(output_dim=dim, **kwargs)
+        if self.conv == "gin":
+            return GINConv(output_dim=dim, **kwargs)
+        if self.conv == "gatv2":
+            return GATv2Conv(output_dim=dim, **kwargs)
+        return SAGEConv(output_dim=dim, activation=None, **kwargs)
+
+    def _layers(self) -> list[Module]:
+        return [self._layer(d) for d in self.hidden_dims]
+
+    def _layer_out_dim(self, layer: Module) -> int:
+        return layer.out_features if isinstance(layer, GATv2Conv) else layer.output_dim
+
+    @property
+    def output_dim(self) -> int:
+        return self._layer_out_dim(self._layers()[-1])
+
+    def init(self, rng: jax.Array, input_dim: int, dtype=jnp.float32) -> dict:
+        layers = self._layers()
+        keys = _split(rng, len(layers))
+        params, dim = {}, input_dim
+        for i, (layer, key) in enumerate(zip(layers, keys)):
+            params[f"layer_{i}"] = layer.init(key, dim, dtype)
+            dim = self._layer_out_dim(layer)
+        return params
+
+    def apply(
+        self,
+        params: dict,
+        x: jax.Array,
+        edge_index: jax.Array,
+        *,
+        edge_mask: jax.Array | None = None,
+        node_mask: jax.Array | None = None,
+        training: bool = False,
+        rng: jax.Array | None = None,
+    ) -> jax.Array:
+        layers = self._layers()
+        keys = _split(rng, len(layers))
+        act = get_activation(self.activation)
+        from ..nn.module import dropout as _dropout
+
+        h = x
+        for i, (layer, key) in enumerate(zip(layers, keys)):
+            layer_rng = None
+            drop_rng = None
+            if key is not None:
+                layer_rng, drop_rng = jax.random.split(key)
+            kw: dict[str, Any] = {"training": training, "rng": layer_rng}
+            if isinstance(layer, (GCNConv, GATv2Conv)):
+                kw["node_mask"] = node_mask
+            h = layer.apply(params[f"layer_{i}"], h, edge_index,
+                            edge_mask=edge_mask, **kw)
+            if i < len(layers) - 1:
+                h = act(h)
+                h = _dropout(drop_rng, h, self.dropout_rate, training)
+        if self.final_activation is not None:
+            h = get_activation(self.final_activation)(h)
+        return h
+
+
+def GCN(hidden_dims: tuple[int, ...], **kwargs) -> GNNEncoder:
+    """2-layer-style GCN stack (Kipf & Welling)."""
+    return GNNEncoder(conv="gcn", hidden_dims=tuple(hidden_dims), **kwargs)
+
+
+def GIN(hidden_dims: tuple[int, ...], mlp_hidden: tuple[int, ...] = (), **kwargs):
+    conv_kwargs = tuple({"mlp_hidden": tuple(mlp_hidden)}.items())
+    return GNNEncoder(
+        conv="gin", hidden_dims=tuple(hidden_dims), conv_kwargs=conv_kwargs, **kwargs
+    )
+
+
+def GAT(hidden_dims: tuple[int, ...], heads: int = 8, **kwargs) -> GNNEncoder:
+    conv_kwargs = tuple({"heads": heads}.items())
+    return GNNEncoder(
+        conv="gatv2", hidden_dims=tuple(hidden_dims), conv_kwargs=conv_kwargs, **kwargs
+    )
+
+
+def GraphSAGE(hidden_dims: tuple[int, ...], aggregator: str = "mean", **kwargs):
+    conv_kwargs = tuple({"aggregator": aggregator}.items())
+    return GNNEncoder(
+        conv="sage", hidden_dims=tuple(hidden_dims), conv_kwargs=conv_kwargs, **kwargs
+    )
+
+
+@dataclasses.dataclass(frozen=True)
+class GraphClassifier(Module):
+    """Encoder + batched readout + dense head for graph-level tasks."""
+
+    encoder: GNNEncoder
+    num_classes: int
+    readout: str = "mean"
+    head_hidden: tuple[int, ...] = ()
+
+    def __post_init__(self):
+        object.__setattr__(self, "head_hidden", tuple(self.head_hidden))
+        if isinstance(self.encoder, dict):  # from_config path
+            object.__setattr__(self, "encoder", GNNEncoder.from_config(self.encoder))
+
+    def _head(self) -> list[Dense]:
+        dims = list(self.head_hidden)
+        layers = [Dense(d, activation="relu") for d in dims]
+        layers.append(Dense(self.num_classes))
+        return layers
+
+    def init(self, rng: jax.Array, input_dim: int, dtype=jnp.float32) -> dict:
+        k_enc, k_head = jax.random.split(rng)
+        params = {"encoder": self.encoder.init(k_enc, input_dim, dtype)}
+        dim = self.encoder.output_dim
+        for i, layer in enumerate(self._head()):
+            k_head, sub = jax.random.split(k_head)
+            params[f"head_{i}"] = layer.init(sub, dim, dtype)
+            dim = layer.units
+        return params
+
+    def apply(
+        self,
+        params: dict,
+        x: jax.Array,
+        edge_index: jax.Array,
+        batch: jax.Array,
+        num_graphs: int,
+        *,
+        edge_mask: jax.Array | None = None,
+        node_mask: jax.Array | None = None,
+        training: bool = False,
+        rng: jax.Array | None = None,
+    ) -> jax.Array:
+        h = self.encoder.apply(
+            params["encoder"],
+            x,
+            edge_index,
+            edge_mask=edge_mask,
+            node_mask=node_mask,
+            training=training,
+            rng=rng,
+        )
+        pooled = batch_pool(
+            h, batch, num_graphs, self.readout, node_mask=node_mask
+        )
+        for i, layer in enumerate(self._head()):
+            pooled = layer.apply(params[f"head_{i}"], pooled)
+        return pooled

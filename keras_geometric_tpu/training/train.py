@@ -1,0 +1,114 @@
+"""Jitted training steps: losses, TrainState, step factories.
+
+The reference has no training tier — its docs show hand-rolled epoch loops
+(docs/tutorials/node_classification.md:95-183). Here training is a
+first-class, jit-compiled, shardable function: a ``TrainState`` pytree and
+factories that close over a model and an optax transform.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+
+try:
+    import optax
+except ImportError:  # pragma: no cover
+    optax = None
+
+__all__ = [
+    "TrainState",
+    "masked_softmax_cross_entropy",
+    "masked_accuracy",
+    "make_node_classification_step",
+    "make_eval_fn",
+]
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class TrainState:
+    """Parameter + optimizer + RNG state as a single pytree."""
+
+    params: Any
+    opt_state: Any
+    step: jax.Array
+    rng: jax.Array
+
+    @classmethod
+    def create(cls, params, tx, rng) -> "TrainState":
+        return cls(
+            params=params,
+            opt_state=tx.init(params),
+            step=jnp.zeros((), jnp.int32),
+            rng=rng,
+        )
+
+
+def masked_softmax_cross_entropy(
+    logits: jax.Array, labels: jax.Array, mask: jax.Array
+) -> jax.Array:
+    """Mean softmax CE over masked rows (the tutorial's masked loss,
+    node_classification.md:140-147)."""
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    nll = -jnp.take_along_axis(logp, labels[:, None].astype(jnp.int32), axis=-1)[:, 0]
+    mask = mask.astype(nll.dtype)
+    return jnp.sum(nll * mask) / jnp.maximum(jnp.sum(mask), 1.0)
+
+
+def masked_accuracy(
+    logits: jax.Array, labels: jax.Array, mask: jax.Array
+) -> jax.Array:
+    pred = jnp.argmax(logits, axis=-1)
+    hit = (pred == labels).astype(jnp.float32) * mask.astype(jnp.float32)
+    return jnp.sum(hit) / jnp.maximum(jnp.sum(mask), 1.0)
+
+
+def make_node_classification_step(
+    model: Any,
+    tx: Any,
+    *,
+    loss_fn: Callable = masked_softmax_cross_entropy,
+    donate: bool = True,
+) -> Callable:
+    """Build a jitted ``(state, x, edge_index, y, mask) -> (state, loss)``.
+
+    ``model`` is any Module with ``apply(params, x, edge_index, training=,
+    rng=)``. The state buffer is donated so parameters update in place on
+    device (no HBM double-buffering of the model).
+    """
+
+    def step(state: TrainState, x, edge_index, y, mask):
+        rng, sub = jax.random.split(state.rng)
+
+        def compute_loss(params):
+            logits = model.apply(params, x, edge_index, training=True, rng=sub)
+            return loss_fn(logits, y, mask)
+
+        loss, grads = jax.value_and_grad(compute_loss)(state.params)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return (
+            TrainState(
+                params=params,
+                opt_state=opt_state,
+                step=state.step + 1,
+                rng=rng,
+            ),
+            loss,
+        )
+
+    return jax.jit(step, donate_argnums=(0,) if donate else ())
+
+
+def make_eval_fn(model: Any) -> Callable:
+    """Build a jitted ``(params, x, edge_index, y, mask) -> accuracy``."""
+
+    def evaluate(params, x, edge_index, y, mask):
+        logits = model.apply(params, x, edge_index)
+        return masked_accuracy(logits, y, mask)
+
+    return jax.jit(evaluate)
