@@ -1,0 +1,124 @@
+"""Headline benchmark: GCN fwd+bwd edges/s/chip on an ogbn-arxiv-scale graph.
+
+Workload (BASELINE.json north-star metric): full-graph 2-layer GCN (256
+hidden) forward + backward on a synthetic graph with ogbn-arxiv's shape
+(169,343 nodes / 1,166,243 directed edges / 128 features / 40 classes).
+Self-loops + symmetric normalization included (preprocessed once, as the
+framework prescribes). Timing excludes compilation; steps are timed in
+blocks with a single device sync at the end of each block.
+
+vs_baseline: the reference publishes no numbers; its only quantitative
+anchor is the CI perf threshold "GCN forward, 100k edges in < 5 s"
+(tests/performance/test_large_graphs.py:86-107) => 20,000 edges/s. The
+ratio is cross-hardware (CI CPU vs one TPU chip) — recorded for lack of any
+reference-published alternative; BENCH history tracks absolute edges/s.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+ARXIV_NODES = 169_343
+ARXIV_EDGES = 1_166_243
+ARXIV_FEATS = 128
+ARXIV_CLASSES = 40
+HIDDEN = 256
+REFERENCE_EDGES_PER_S = 100_000 / 5.0  # reference CI threshold anchor
+
+
+def build_workload():
+    import jax
+    import jax.numpy as jnp
+
+    import keras_geometric_tpu as kgt
+    from keras_geometric_tpu.models import GNNEncoder
+    from keras_geometric_tpu.ops.graph_ops import coo_to_csr
+
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((ARXIV_NODES, ARXIV_FEATS)).astype(np.float32)
+    senders = rng.integers(0, ARXIV_NODES, ARXIV_EDGES).astype(np.int32)
+    receivers = rng.integers(0, ARXIV_NODES, ARXIV_EDGES).astype(np.int32)
+    y = rng.integers(0, ARXIV_CLASSES, ARXIV_NODES).astype(np.int32)
+
+    # Framework-prescribed preprocessing (once, outside the step): add
+    # self-loops, receiver-sort to CSR order, precompute GCN norm.
+    s = np.concatenate([senders, np.arange(ARXIV_NODES, dtype=np.int32)])
+    r = np.concatenate([receivers, np.arange(ARXIV_NODES, dtype=np.int32)])
+    csr = coo_to_csr(s, r, ARXIV_NODES)
+    ei = jnp.stack([jnp.asarray(csr.senders), jnp.asarray(csr.receivers)])
+    norm = kgt.gcn_norm(ei, ARXIV_NODES, indices_are_sorted=True)
+
+    encoder = GNNEncoder(
+        conv="gcn",
+        hidden_dims=(HIDDEN, ARXIV_CLASSES),
+        conv_kwargs=tuple(
+            {"add_self_loops": False, "normalize": False}.items()
+        ),
+    )
+    params = encoder.init(jax.random.PRNGKey(0), ARXIV_FEATS)
+
+    x = jnp.asarray(x)
+    y = jnp.asarray(y)
+
+    def loss_fn(params):
+        from keras_geometric_tpu.nn.module import get_activation
+
+        h = x
+        layers = encoder._layers()
+        for i, layer in enumerate(layers):
+            h = layer.apply(
+                params[f"layer_{i}"], h, ei, edge_weight=norm,
+                indices_are_sorted=True,
+            )
+            if i < len(layers) - 1:
+                h = get_activation(encoder.activation)(h)
+        logp = jax.nn.log_softmax(h)
+        return -jnp.mean(
+            jnp.take_along_axis(logp, y[:, None].astype(jnp.int32), axis=-1)
+        )
+
+    grad_fn = jax.jit(jax.value_and_grad(loss_fn))
+    num_edges_total = int(ei.shape[1])
+    return grad_fn, params, num_edges_total
+
+
+def main():
+    import jax
+
+    grad_fn, params, num_edges = build_workload()
+
+    # Warmup / compile.
+    loss, grads = grad_fn(params)
+    jax.block_until_ready((loss, grads))
+
+    # Timed blocks.
+    best = float("inf")
+    for _ in range(3):
+        block = 20
+        t0 = time.perf_counter()
+        for _ in range(block):
+            loss, grads = grad_fn(params)
+        jax.block_until_ready((loss, grads))
+        dt = (time.perf_counter() - t0) / block
+        best = min(best, dt)
+
+    edges_per_s = num_edges / best
+    print(
+        json.dumps(
+            {
+                "metric": "gcn_fwd_bwd_edges_per_s_per_chip",
+                "value": round(edges_per_s, 1),
+                "unit": "edges/s",
+                "vs_baseline": round(edges_per_s / REFERENCE_EDGES_PER_S, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

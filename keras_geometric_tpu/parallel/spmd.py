@@ -1,0 +1,276 @@
+"""SPMD per-chip layer kernels for edge-partitioned full-graph execution.
+
+Each function here is the *per-device* body of a ``shard_map`` over a 1-D
+``graph`` mesh axis. The execution pattern for every conv family:
+
+1. transform the chip-local node shard (dense MXU matmul, no comm);
+2. ``all_gather`` the transformed shard over ICI (tiled) to materialize the
+   full feature table — gathering *post*-transform moves ``N * F_out``
+   bytes instead of ``N * F_in`` whenever the layer shrinks features;
+3. gather sender rows (global ids) from the gathered table, compute
+   per-edge messages;
+4. segment-reduce into the chip-local receiver range — **purely local**,
+   because edges are partitioned by receiver (parallel.partition), so even
+   GATv2's per-receiver softmax needs no cross-chip pass.
+
+Gradients flow through ``all_gather`` (transpose = reduce-scatter, inserted
+by XLA/shard_map autodiff), so fwd+bwd both ride ICI collectives.
+
+Graph-structure preprocessing (self-loops, GCN normalization) happens once
+at partition time (partition_graph(gcn_normalize=True, add_self_loops=True))
+— layers here require those flags pre-applied and assert accordingly.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+from ..nn.gatv2_conv import GATv2Conv
+from ..nn.gcn_conv import GCNConv
+from ..nn.gin_conv import GINConv
+from ..nn.module import dropout as _dropout
+from ..nn.sage_conv import SAGEConv
+from ..ops.segment import (
+    segment_max,
+    segment_softmax,
+    segment_sum,
+)
+from ..nn.aggregators import aggregate
+
+__all__ = [
+    "gcn_apply_local",
+    "gin_apply_local",
+    "gatv2_apply_local",
+    "sage_apply_local",
+    "encoder_apply_local",
+]
+
+
+def _gather_full(h_local: jax.Array, axis: str) -> jax.Array:
+    """all_gather the node shard into the full table: [L, F] -> [P*L, F]."""
+    return jax.lax.all_gather(h_local, axis, axis=0, tiled=True)
+
+
+def gcn_apply_local(
+    layer: GCNConv,
+    params: dict,
+    x_local: jax.Array,
+    senders_global: jax.Array,
+    receivers_local: jax.Array,
+    edge_weight: jax.Array | None,
+    edge_mask: jax.Array,
+    *,
+    axis: str = "graph",
+    training: bool = False,
+    rng: jax.Array | None = None,
+) -> jax.Array:
+    """GCN forward on one chip's node/edge shard. Requires normalization and
+    self-loops folded into the partition (gcn_conv parity via
+    partition_graph(gcn_normalize=True, add_self_loops=True))."""
+    if layer.add_self_loops or layer.normalize:
+        raise ValueError(
+            "Distributed GCNConv expects add_self_loops/normalize handled at "
+            "partition time; construct the layer with both flags False."
+        )
+    num_local = x_local.shape[0]
+    h_local = x_local @ params["kernel"]  # [L, F_out]
+    h_full = _gather_full(h_local, axis)  # [N_pad, F_out]
+    messages = jnp.take(h_full, senders_global, axis=0)
+    if edge_weight is not None:
+        messages = messages * edge_weight[:, None]
+    messages = _dropout(rng, messages, layer.dropout_rate, training)
+    out = segment_sum(
+        messages,
+        receivers_local,
+        num_local,
+        mask=edge_mask,
+        indices_are_sorted=True,
+    )
+    if layer.use_bias:
+        out = out + params["bias"]
+    return out
+
+
+def gin_apply_local(
+    layer: GINConv,
+    params: dict,
+    x_local: jax.Array,
+    senders_global: jax.Array,
+    receivers_local: jax.Array,
+    edge_mask: jax.Array,
+    *,
+    axis: str = "graph",
+    training: bool = False,
+    rng: jax.Array | None = None,
+) -> jax.Array:
+    num_local = x_local.shape[0]
+    x_full = _gather_full(x_local, axis)
+    messages = jnp.take(x_full, senders_global, axis=0)
+    agg = aggregate(
+        layer.aggregator,
+        messages,
+        receivers_local,
+        num_local,
+        mask=edge_mask,
+        indices_are_sorted=True,
+    )
+    eps = params["eps"] if layer.train_eps else layer.eps_init
+    h = (1 + eps) * x_local + agg
+    return layer._mlp().apply(params["mlp"], h, training=training, rng=rng)
+
+
+def gatv2_apply_local(
+    layer: GATv2Conv,
+    params: dict,
+    x_local: jax.Array,
+    senders_global: jax.Array,
+    receivers_local: jax.Array,
+    edge_mask: jax.Array,
+    *,
+    axis: str = "graph",
+    training: bool = False,
+    rng: jax.Array | None = None,
+) -> jax.Array:
+    """GATv2 forward on one chip. The per-receiver softmax is local because
+    edges are partitioned by receiver — no distributed two-pass needed."""
+    if layer.add_self_loops:
+        raise ValueError(
+            "Distributed GATv2Conv expects self-loops added at partition "
+            "time; construct the layer with add_self_loops=False."
+        )
+    num_local = x_local.shape[0]
+    h, f = layer.heads, layer.output_dim
+    ht_local = (x_local @ params["kernel"]).reshape(num_local, h * f)
+    ht_full = _gather_full(ht_local, axis)
+    h_j = jnp.take(ht_full, senders_global, axis=0).reshape(-1, h, f)
+    h_i = jnp.take(ht_local, receivers_local, axis=0).reshape(-1, h, f)
+
+    z = jax.nn.leaky_relu(h_i + h_j, negative_slope=layer.negative_slope)
+    scores = jnp.sum(z * params["att"], axis=-1)  # [E, H]
+    alpha = segment_softmax(
+        scores,
+        receivers_local,
+        num_local,
+        mask=edge_mask,
+        eps=1e-10,
+        indices_are_sorted=True,
+    )
+    alpha = _dropout(rng, alpha, layer.dropout, training)
+    messages = (alpha[:, :, None] * h_j).reshape(-1, h * f)
+    agg = segment_sum(
+        messages,
+        receivers_local,
+        num_local,
+        mask=edge_mask,
+        indices_are_sorted=True,
+    ).reshape(num_local, h, f)
+    out = agg.reshape(num_local, h * f) if layer.concat else jnp.mean(agg, axis=1)
+    if layer.use_bias:
+        out = out + params["bias"]
+    return out
+
+
+def sage_apply_local(
+    layer: SAGEConv,
+    params: dict,
+    x_local: jax.Array,
+    senders_global: jax.Array,
+    receivers_local: jax.Array,
+    edge_mask: jax.Array,
+    *,
+    axis: str = "graph",
+    training: bool = False,
+    rng: jax.Array | None = None,
+) -> jax.Array:
+    from ..nn.module import get_activation
+
+    num_local = x_local.shape[0]
+    msg_rng = root_rng = None
+    if rng is not None:
+        msg_rng, root_rng = jax.random.split(rng)
+    x_full = _gather_full(x_local, axis)
+    messages = jnp.take(x_full, senders_global, axis=0)
+    messages = _dropout(msg_rng, messages, layer.dropout_rate, training)
+    if layer.aggregator == "pooling":
+        messages = layer._pool_mlp(x_local.shape[1]).apply(
+            params["pool_mlp"], messages
+        )
+        agg = segment_max(
+            messages, receivers_local, num_local, mask=edge_mask,
+            indices_are_sorted=True,
+        )
+    else:
+        agg = aggregate(
+            layer.aggregator, messages, receivers_local, num_local,
+            mask=edge_mask, indices_are_sorted=True,
+        )
+    out = agg @ params["lin_neigh"]["kernel"]
+    if layer.root_weight:
+        x_root = _dropout(root_rng, x_local, layer.dropout_rate, training)
+        out = out + x_root @ params["lin_self"]["kernel"]
+    if layer.use_bias:
+        out = out + params["bias"]
+    out = get_activation(layer.activation)(out)
+    if layer.normalize:
+        norm = jnp.linalg.norm(out, axis=-1, keepdims=True)
+        out = out / jnp.maximum(norm, jnp.asarray(1e-12, dtype=out.dtype))
+    return out
+
+
+def encoder_apply_local(
+    encoder: Any,
+    params: dict,
+    x_local: jax.Array,
+    senders_global: jax.Array,
+    receivers_local: jax.Array,
+    edge_weight: jax.Array | None,
+    edge_mask: jax.Array,
+    *,
+    axis: str = "graph",
+    training: bool = False,
+    rng: jax.Array | None = None,
+) -> jax.Array:
+    """Per-chip forward of a models.GNNEncoder stack."""
+    from ..nn.module import get_activation
+
+    layers = encoder._layers()
+    act = get_activation(encoder.activation)
+    keys = (
+        list(jax.random.split(rng, len(layers))) if rng is not None
+        else [None] * len(layers)
+    )
+    h = x_local
+    for i, (layer, key) in enumerate(zip(layers, keys)):
+        layer_rng = drop_rng = None
+        if key is not None:
+            layer_rng, drop_rng = jax.random.split(key)
+        p = params[f"layer_{i}"]
+        common = dict(axis=axis, training=training, rng=layer_rng)
+        if isinstance(layer, GCNConv):
+            h = gcn_apply_local(
+                layer, p, h, senders_global, receivers_local, edge_weight,
+                edge_mask, **common,
+            )
+        elif isinstance(layer, GINConv):
+            h = gin_apply_local(
+                layer, p, h, senders_global, receivers_local, edge_mask, **common
+            )
+        elif isinstance(layer, GATv2Conv):
+            h = gatv2_apply_local(
+                layer, p, h, senders_global, receivers_local, edge_mask, **common
+            )
+        elif isinstance(layer, SAGEConv):
+            h = sage_apply_local(
+                layer, p, h, senders_global, receivers_local, edge_mask, **common
+            )
+        else:
+            raise TypeError(f"Unsupported layer type: {type(layer)}")
+        if i < len(layers) - 1:
+            h = act(h)
+            h = _dropout(drop_rng, h, encoder.dropout_rate, training)
+    if encoder.final_activation is not None:
+        h = get_activation(encoder.final_activation)(h)
+    return h

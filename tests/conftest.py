@@ -8,7 +8,7 @@ pattern, replacing the reference's backend-switch conftest,
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"  # force: env may preset a TPU platform
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -17,6 +17,9 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+# The axon sitecustomize pins jax_platforms at interpreter start; the env
+# var alone does not win. Re-pin to the virtual CPU mesh for tests.
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
 
 import numpy as np  # noqa: E402

@@ -1,0 +1,178 @@
+"""Multi-chip tests on the 8-device virtual CPU mesh.
+
+The core invariant: edge-partitioned distributed execution is numerically
+identical (allclose) to single-device execution — partitioning, the
+all-gather, and local segment reductions must not change any value.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+import keras_geometric_tpu as kgt
+from keras_geometric_tpu.data.datasets import synthetic_planetoid
+from keras_geometric_tpu.models import GNNEncoder
+from keras_geometric_tpu.parallel import (
+    distributed_gcn_encoder,
+    make_distributed_eval_fn,
+    make_distributed_train_step,
+    make_mesh,
+    partition_graph,
+    shard_partitioned_graph,
+)
+from keras_geometric_tpu.parallel.spmd import encoder_apply_local
+from keras_geometric_tpu.training import TrainState
+
+pytestmark = pytest.mark.distributed
+
+N_DEV = 8
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    assert len(jax.devices()) == N_DEV, "conftest must force 8 virtual devices"
+    return make_mesh((N_DEV,), ("graph",))
+
+
+@pytest.fixture(scope="module")
+def graph():
+    rng = np.random.default_rng(7)
+    n, e, f = 100, 400, 12
+    x = rng.standard_normal((n, f)).astype(np.float32)
+    ei = np.stack(
+        [rng.integers(0, n, e), rng.integers(0, n, e)]
+    ).astype(np.int32)
+    y = rng.integers(0, 5, n).astype(np.int32)
+    return x, ei, y
+
+
+class TestPartition:
+    def test_partition_covers_all_edges(self, graph):
+        x, ei, _ = graph
+        pg = partition_graph(ei, x.shape[0], 4)
+        assert pg.edge_mask.sum() == ei.shape[1]
+        # Reconstruct global edges from shards and compare as sets.
+        recon = set()
+        for p in range(4):
+            for j in range(pg.edge_mask.shape[1]):
+                if pg.edge_mask[p, j]:
+                    recon.add(
+                        (
+                            int(pg.senders_global[p, j]),
+                            int(pg.receivers_local[p, j] + p * pg.nodes_per_part),
+                        )
+                    )
+        expected = set(zip(ei[0].tolist(), ei[1].tolist()))
+        assert recon == expected
+
+    def test_gcn_norm_matches_single_device(self, graph):
+        x, ei, _ = graph
+        n = x.shape[0]
+        pg = partition_graph(
+            ei, n, 4, gcn_normalize=True, add_self_loops=True
+        )
+        ei_l, _ = kgt.add_self_loops(jnp.asarray(ei), n)
+        w_ref = np.asarray(kgt.gcn_norm(ei_l, n))
+        w_shard = pg.edge_weight[pg.edge_mask]
+        perm = pg.edge_perm[pg.edge_mask]
+        np.testing.assert_allclose(
+            np.sort(w_shard), np.sort(w_ref), rtol=1e-5
+        )
+        np.testing.assert_allclose(w_shard, w_ref[perm], rtol=1e-5)
+
+
+class TestDistributedParity:
+    @pytest.mark.parametrize(
+        "conv,conv_kwargs",
+        [
+            ("gcn", {"add_self_loops": False, "normalize": False}),
+            ("gin", {}),
+            ("gatv2", {"heads": 2, "add_self_loops": False}),
+            ("sage", {"aggregator": "mean"}),
+        ],
+    )
+    def test_forward_matches_single_device(self, mesh, graph, conv, conv_kwargs):
+        x, ei, _ = graph
+        n = x.shape[0]
+        gcn_like = conv == "gcn"
+        pg = partition_graph(
+            ei, n, N_DEV, gcn_normalize=gcn_like, add_self_loops=gcn_like
+        )
+        enc = GNNEncoder(
+            conv=conv,
+            hidden_dims=(8, 6),
+            conv_kwargs=tuple(conv_kwargs.items()),
+        )
+        params = enc.init(jax.random.PRNGKey(0), x.shape[1])
+
+        # Single-device reference (same preprocessing path).
+        if gcn_like:
+            ei_ref, _ = kgt.add_self_loops(jnp.asarray(ei), n)
+            ew_ref = kgt.gcn_norm(ei_ref, n)
+            ref = x
+            from keras_geometric_tpu.nn.module import get_activation
+
+            h = jnp.asarray(x)
+            layers = enc._layers()
+            for i, layer in enumerate(layers):
+                h = layer.apply(params[f"layer_{i}"], h, ei_ref, edge_weight=ew_ref)
+                if i < len(layers) - 1:
+                    h = get_activation(enc.activation)(h)
+            ref = h
+        else:
+            ref = enc.apply(params, jnp.asarray(x), jnp.asarray(ei))
+
+        data = shard_partitioned_graph(pg, mesh, x=x)
+        from functools import partial
+        from jax.sharding import PartitionSpec as P
+
+        fwd = jax.jit(
+            jax.shard_map(
+                lambda p, xx, s, r, w, m: encoder_apply_local(
+                    enc, p, xx[0], s[0], r[0], w[0], m[0]
+                )[None],
+                mesh=mesh,
+                in_specs=(P(), P("graph"), P("graph"), P("graph"), P("graph"),
+                          P("graph")),
+                out_specs=P("graph"),
+                check_vma=False,
+            )
+        )
+        out = fwd(
+            params, data["x"], data["senders"], data["receivers"],
+            data["edge_weight"], data["edge_mask"],
+        )
+        out_flat = np.asarray(out).reshape(-1, out.shape[-1])[:n]
+        np.testing.assert_allclose(out_flat, np.asarray(ref), rtol=2e-4, atol=2e-5)
+
+
+class TestDistributedTraining:
+    def test_loss_decreases_and_matches(self, mesh):
+        g = synthetic_planetoid("cora", seed=3)
+        # Subsample for test speed: take first 512 nodes' subgraph.
+        keep = 512
+        sel = (g.edge_index[0] < keep) & (g.edge_index[1] < keep)
+        ei = g.edge_index[:, sel]
+        x, y = g.x[:keep], g.y[:keep]
+        train_mask = g.train_mask[:keep]
+
+        pg = partition_graph(ei, keep, N_DEV, gcn_normalize=True,
+                             add_self_loops=True)
+        enc = distributed_gcn_encoder((16, 7))
+        params = enc.init(jax.random.PRNGKey(0), x.shape[1])
+        tx = optax.adam(0.01)
+        state = TrainState.create(params, tx, jax.random.PRNGKey(1))
+        data = shard_partitioned_graph(
+            pg, mesh, x=x, y=y, masks={"train_mask": train_mask}
+        )
+        step = make_distributed_train_step(enc, tx, mesh)
+        losses = []
+        for _ in range(30):
+            state, loss = step(state, data)
+            losses.append(float(loss))
+        assert losses[-1] < losses[0] * 0.7, losses
+        evaluate = make_distributed_eval_fn(enc, mesh)
+        acc = float(evaluate(state.params, data, data["train_mask"]))
+        assert acc > 0.5
