@@ -74,6 +74,7 @@ class GCNConv(Module):
         training: bool = False,
         rng: jax.Array | None = None,
         indices_are_sorted: bool = False,
+        spmm_tables=None,
     ) -> jax.Array:
         num_nodes = x.shape[0]
         if num_nodes == 0:
@@ -120,6 +121,7 @@ class GCNConv(Module):
                 num_nodes,
                 mask=edge_mask,
                 indices_are_sorted=indices_are_sorted,
+                tables=spmm_tables,
             )
 
         if self.use_bias:

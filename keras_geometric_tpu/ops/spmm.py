@@ -43,11 +43,26 @@ def scatter_sum(
     mask: jax.Array | None = None,
     indices_are_sorted: bool = False,
     use_pallas: bool | None = None,
+    tables=None,
 ) -> jax.Array:
-    """Sum-reduce ``[E, F]`` messages into ``[N, F]`` node rows."""
+    """Sum-reduce ``[E, F]`` messages into ``[N, F]`` node rows.
+
+    ``tables`` (a ``kernels.spmm_pallas.RowTables`` from graph
+    preprocessing) selects the Pallas kernel explicitly; otherwise the
+    Pallas path is taken when enabled, sorted, and running on TPU.
+    """
+    on_tpu = jax.default_backend() == "tpu" or (
+        jax.devices() and jax.devices()[0].platform not in ("cpu", "gpu")
+    )
+    if tables is not None and indices_are_sorted and on_tpu:
+        from ..kernels import spmm_pallas
+
+        return spmm_pallas.scatter_sum_sorted(
+            messages, receivers, num_nodes, mask=mask, tables=tables
+        )
     if use_pallas is None:
         use_pallas = use_pallas_default()
-    if use_pallas and indices_are_sorted and jax.default_backend() == "tpu":
+    if use_pallas and indices_are_sorted and on_tpu:
         from ..kernels import spmm_pallas
 
         return spmm_pallas.scatter_sum_sorted(

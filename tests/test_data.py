@@ -1,0 +1,120 @@
+"""Data tier tests: GraphData, batching, datasets, OGB shards."""
+
+import numpy as np
+import pytest
+
+from keras_geometric_tpu import GraphData, batch_graphs
+from keras_geometric_tpu.data.datasets import OGBNodeDataset, synthetic_planetoid
+from keras_geometric_tpu.utils.data_utils import batch_graphs_padded
+
+
+def g(n, e, f=4, seed=0, y=None):
+    rng = np.random.default_rng(seed)
+    return GraphData(
+        x=rng.standard_normal((n, f)).astype(np.float32),
+        edge_index=np.stack(
+            [rng.integers(0, n, e), rng.integers(0, n, e)]
+        ).astype(np.int32),
+        y=y,
+    )
+
+
+class TestGraphData:
+    def test_properties(self):
+        gd = g(5, 7)
+        assert gd.num_nodes == 5
+        assert gd.num_edges == 7
+        assert gd.num_node_features == 4
+        assert gd.num_edge_features == 0
+
+    def test_e2_transpose(self):
+        ei = np.array([[0, 1], [1, 2], [2, 0]], np.int32)  # [E, 2]
+        gd = GraphData(x=np.zeros((3, 2), np.float32), edge_index=ei)
+        assert gd.edge_index.shape == (2, 3)
+
+    def test_extras_attribute_access(self):
+        gd = GraphData(
+            x=np.zeros((3, 2), np.float32),
+            edge_index=np.zeros((2, 1), np.int32),
+            train_mask=np.array([True, False, True]),
+        )
+        assert gd.train_mask.sum() == 2
+        with pytest.raises(AttributeError):
+            gd.nonexistent
+
+    def test_to_inputs(self):
+        gd = g(4, 3)
+        inputs = gd.to_inputs()
+        assert len(inputs) == 2
+
+
+class TestBatching:
+    def test_offsets(self):
+        g1, g2 = g(3, 2, seed=1), g(4, 3, seed=2)
+        b = batch_graphs([g1, g2])
+        assert b.num_nodes == 7
+        assert b.num_edges == 5
+        # second graph's edges shifted by 3
+        np.testing.assert_array_equal(b.edge_index[:, 2:], g2.edge_index + 3)
+        np.testing.assert_array_equal(b.batch, [0, 0, 0, 1, 1, 1, 1])
+
+    def test_graph_level_y_stacked(self):
+        g1 = g(3, 2, y=np.array([1.0, 0.0]))
+        g2 = g(2, 1, y=np.array([0.0, 1.0]))
+        b = batch_graphs([g1, g2])
+        assert b.y.shape == (2, 2)
+
+    def test_node_level_y_concat(self):
+        g1 = g(3, 2, y=np.zeros((3, 5), np.float32))
+        g2 = g(2, 1, y=np.ones((2, 5), np.float32))
+        b = batch_graphs([g1, g2])
+        assert b.y.shape == (5, 5)
+
+    def test_empty_list_raises(self):
+        with pytest.raises(ValueError):
+            batch_graphs([])
+
+    def test_padded_static_shapes(self):
+        b1 = batch_graphs_padded([g(3, 2), g(4, 3)], node_bucket=16,
+                                 edge_bucket=16)
+        b2 = batch_graphs_padded([g(5, 6), g(2, 1)], node_bucket=16,
+                                 edge_bucket=16)
+        assert b1.x.shape == b2.x.shape
+        assert b1.senders.shape == b2.senders.shape
+        assert int(b1.n_node) == 7 and int(b2.n_node) == 7
+        # Padded nodes get the dummy graph id.
+        assert int(b1.batch[-1]) == 2
+
+
+class TestSyntheticPlanetoid:
+    def test_shapes_match_reference_stats(self):
+        gd = synthetic_planetoid("cora")
+        assert gd.x.shape == (2708, 1433)
+        assert gd.edge_index.shape[1] == 10858
+        assert int(gd.y.max()) + 1 == 7
+        assert gd.train_mask.sum() == 140  # 20 per class
+
+    def test_masks_disjoint(self):
+        gd = synthetic_planetoid("citeseer")
+        assert not (gd.train_mask & gd.val_mask).any()
+        assert not (gd.train_mask & gd.test_mask).any()
+
+
+class TestOGB:
+    def test_synthetic_arxiv_shards(self, tmp_path):
+        ds = OGBNodeDataset("ogbn-arxiv", root=str(tmp_path), synthetic=True)
+        assert ds.x.shape == (169_343, 128)
+        total = 0
+        for p in range(4):
+            shard = ds.load_partition(p, 4)
+            lo, hi = shard.row_range
+            assert np.all(shard.receivers >= lo)
+            assert np.all(shard.receivers < hi)
+            assert np.all(np.diff(shard.receivers) >= 0)
+            total += len(shard.receivers)
+        assert total == ds.num_edges
+
+    def test_cache_reload(self, tmp_path):
+        OGBNodeDataset("ogbn-arxiv", root=str(tmp_path), synthetic=True)
+        ds2 = OGBNodeDataset("ogbn-arxiv", root=str(tmp_path))
+        assert ds2.num_edges > 0

@@ -1,0 +1,94 @@
+"""Pallas SpMM kernel tests (interpret mode on CPU; allclose vs XLA).
+
+Mirrors SURVEY.md §7.2 step 3: every Pallas kernel ships with an
+XLA-composed fallback and an allclose test against it.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.experimental.pallas import tpu as pltpu
+
+from keras_geometric_tpu.kernels import spmm_pallas as K
+
+
+def _case(n, e, f, seed=0, skew=False):
+    rng = np.random.default_rng(seed)
+    if skew:
+        # Power-law-ish receivers: hub rows exercise multi-chunk blocks.
+        raw = np.minimum(
+            (rng.pareto(1.0, e) * 3).astype(np.int64), n - 1
+        )
+        recv = np.sort(raw).astype(np.int32)
+    else:
+        recv = np.sort(rng.integers(0, n, e)).astype(np.int32)
+    msgs = rng.standard_normal((e, f)).astype(np.float32)
+    return msgs, recv
+
+
+@pytest.mark.parametrize(
+    "n,e,f,skew",
+    [
+        (300, 2000, 64, False),
+        (128, 512, 128, False),  # exactly one block
+        (1000, 100, 32, False),  # sparse: most blocks empty
+        (50, 5000, 8, True),  # hubs: blocks spanning many chunks
+        (257, 1000, 256, False),  # non-multiple of ROW_BLOCK
+    ],
+)
+def test_forward_matches_xla(n, e, f, skew):
+    msgs, recv = _case(n, e, f, skew=skew)
+    ref = jax.ops.segment_sum(jnp.asarray(msgs), jnp.asarray(recv), n)
+    with pltpu.force_tpu_interpret_mode():
+        out = K.scatter_sum_sorted(jnp.asarray(msgs), jnp.asarray(recv), n)
+    np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-4)
+
+
+def test_tables_path_matches():
+    msgs, recv = _case(300, 2000, 64)
+    t = K.build_row_tables(recv, 300)
+    ref = jax.ops.segment_sum(jnp.asarray(msgs), jnp.asarray(recv), 300)
+    with pltpu.force_tpu_interpret_mode():
+        out = K.scatter_sum_sorted(
+            jnp.asarray(msgs), jnp.asarray(recv), 300, tables=t
+        )
+    np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-4)
+
+
+def test_mask_zeroes_padded_edges():
+    msgs, recv = _case(100, 600, 16)
+    mask = np.arange(600) < 500
+    ref = jax.ops.segment_sum(
+        jnp.asarray(msgs[:500]), jnp.asarray(recv[:500]), 100
+    )
+    with pltpu.force_tpu_interpret_mode():
+        out = K.scatter_sum_sorted(
+            jnp.asarray(msgs), jnp.asarray(recv), 100, mask=jnp.asarray(mask)
+        )
+    np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-4)
+
+
+def test_backward_matches_xla():
+    msgs, recv = _case(200, 1500, 32)
+    t = K.build_row_tables(recv, 200)
+
+    def loss_pallas(m):
+        with pltpu.force_tpu_interpret_mode():
+            return jnp.sum(
+                K.scatter_sum_sorted(m, jnp.asarray(recv), 200, tables=t) ** 2
+            )
+
+    def loss_xla(m):
+        return jnp.sum(jax.ops.segment_sum(m, jnp.asarray(recv), 200) ** 2)
+
+    g = jax.grad(loss_pallas)(jnp.asarray(msgs))
+    gref = jax.grad(loss_xla)(jnp.asarray(msgs))
+    np.testing.assert_allclose(g, gref, rtol=1e-4, atol=1e-4)
+
+
+def test_unsorted_receivers_rejected():
+    msgs = jnp.ones((4, 8))
+    recv = jnp.asarray(np.array([3, 1, 2, 0], np.int32))
+    with pytest.raises(ValueError, match="sorted"):
+        K.scatter_sum_sorted(msgs, recv, 4)
