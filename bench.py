@@ -61,6 +61,10 @@ def build_workload():
     )
     ei = jnp.stack([jnp.asarray(csr.senders), jnp.asarray(csr.receivers)])
 
+    from keras_geometric_tpu.kernels.spmm_pallas import build_row_tables
+
+    tables = build_row_tables(csr.receivers, ARXIV_NODES)
+
     encoder = GNNEncoder(
         conv="gcn",
         hidden_dims=(HIDDEN, ARXIV_CLASSES),
@@ -81,7 +85,7 @@ def build_workload():
         for i, layer in enumerate(layers):
             h = layer.apply(
                 params[f"layer_{i}"], h, ei, edge_weight=norm,
-                indices_are_sorted=True,
+                indices_are_sorted=True, spmm_tables=tables,
             )
             if i < len(layers) - 1:
                 h = get_activation(encoder.activation)(h)

@@ -8,25 +8,32 @@ the backend; here it is a hand-scheduled TPU kernel).
 Design (work-list CSR accumulation, boundary-encoded):
 
 - Edges are receiver-sorted (CSR). Rows are tiled into ``ROW_BLOCK`` blocks;
-  block ``i``'s edges are the contiguous slice ``row_ptr[i*RB]:row_ptr[(i+1)*RB]``.
-- The host builds a flat **work list**: one item per (row block, EDGE_CHUNK-
-  aligned message chunk intersecting its edge range). The Pallas grid walks
-  work items; the message chunk arrives through a *scalar-prefetch-driven
-  BlockSpec index_map* — so the Pallas pipeline double-buffers the HBM
-  stream automatically, including across row-block boundaries.
+  block ``i``'s edges are the contiguous slice
+  ``row_ptr[i*RB]:row_ptr[(i+1)*RB]``.
+- The host builds a flat **work list**: one item per (row block, chunk-
+  aligned message window intersecting its edge range). The Pallas grid
+  walks work items; the message chunk arrives through a *scalar-prefetch-
+  driven BlockSpec index_map*, so the Pallas pipeline double-buffers the
+  HBM stream automatically, including across row-block boundaries.
 - The kernel never reads per-edge receiver ids: sortedness means edge ``e``
   belongs to local row ``r`` iff ``lo[r] <= e < hi[r]``, where ``lo``/``hi``
-  are the block's row boundaries, delivered as two lane-aligned int32
-  vectors from a tiny per-block table.
-- A chunk reduces with **one MXU matmul**: ``one_hotᵀ @ messages_chunk``
-  where ``one_hot[e, r] = (lo[r] <= gidx[e] < hi[r])`` (two VPU compares).
-  Out-of-range edges (chunk overhang, padding) match no interval and add 0.
+  are the block's row boundaries from a tiny per-block table. The one-hot
+  indicator is built directly in MXU-natural ``[ROW_BLOCK, CHUNK]``
+  orientation (rows on sublanes via a once-per-block transpose of lo/hi,
+  edge ids on lanes) — no per-chunk operand relayout.
+- A chunk reduces with **one MXU matmul**: ``one_hot @ messages_chunk``.
+  Out-of-range edges (window overhang, padding) match no row interval and
+  contribute exactly zero.
 - Consecutive work items sharing a row block accumulate into the same
   VMEM output block (sequential TPU grid => no races); the first item of
   each block initializes it.
 
 HBM traffic: messages read ~once (boundary chunks twice) + ``[N, F]``
 written once — the speed-of-light for this op. MXU: 2*E*ROW_BLOCK*F FLOPs.
+
+Precision: one-hot entries are exact in bf16, so ``"split2"`` (default for
+f32 messages) reaches full f32 fidelity with two native-rate bf16 passes
+(hi/lo split of the messages); bf16 messages run a single exact-rate pass.
 
 The backward pass of a sorted scatter-sum is a row gather of the cotangent
 (``take`` by receiver id), which XLA lowers well; the custom VJP uses it.
@@ -46,7 +53,7 @@ from jax.experimental.pallas import tpu as pltpu
 __all__ = ["scatter_sum_sorted", "build_row_tables", "RowTables"]
 
 ROW_BLOCK = 128
-EDGE_CHUNK = 512
+DEFAULT_EDGE_CHUNK = 512
 
 
 class RowTables:
@@ -58,42 +65,52 @@ class RowTables:
         work_block: np.ndarray,
         work_chunk: np.ndarray,
         work_first: np.ndarray,
+        edge_chunk: int,
     ):
         self.bounds = bounds  # [num_blocks, 2, ROW_BLOCK] int32 (lo, hi)
         self.work_block = work_block  # [W] int32: row-block id of item
         self.work_chunk = work_chunk  # [W] int32: message-chunk index
         self.work_first = work_first  # [W] int32: 1 if first item of block
+        self.edge_chunk = int(edge_chunk)
 
     @property
     def num_work(self) -> int:
         return int(self.work_block.shape[0])
 
 
-def _tables_from_row_ptr(row_ptr: np.ndarray, num_blocks: int) -> RowTables:
+def _tables_from_row_ptr(
+    row_ptr: np.ndarray, num_blocks: int, edge_chunk: int
+) -> RowTables:
     n_pad = num_blocks * ROW_BLOCK
     lo = row_ptr[:n_pad].reshape(num_blocks, ROW_BLOCK)
     hi = row_ptr[1 : n_pad + 1].reshape(num_blocks, ROW_BLOCK)
     bounds = np.stack([lo, hi], axis=1).astype(np.int32)
 
     starts = row_ptr[::ROW_BLOCK]  # [num_blocks + 1]
-    wb, wc, wf = [], [], []
-    for i in range(num_blocks):
-        s, t = int(starts[i]), int(starts[i + 1])
-        c0 = s // EDGE_CHUNK
-        c1 = max((t - 1) // EDGE_CHUNK, c0) if t > s else c0
-        for k, c in enumerate(range(c0, c1 + 1)):
-            wb.append(i)
-            wc.append(c)
-            wf.append(1 if k == 0 else 0)
-    return RowTables(
-        bounds,
-        np.asarray(wb, np.int32),
-        np.asarray(wc, np.int32),
-        np.asarray(wf, np.int32),
+    s = starts[:-1].astype(np.int64)
+    t = starts[1:].astype(np.int64)
+    c0 = s // edge_chunk
+    c1 = np.maximum(np.maximum(t - 1, s) // edge_chunk, c0)
+    counts = (c1 - c0 + 1).astype(np.int64)
+    total = int(counts.sum())
+    wb = np.repeat(np.arange(num_blocks, dtype=np.int32), counts)
+    offs = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    intra = np.arange(total, dtype=np.int64) - np.repeat(offs, counts)
+    wc = (np.repeat(c0, counts) + intra).astype(np.int32)
+    # Pack first/last item flags into one scalar array: bit0 = first item of
+    # its row block, bit1 = last item.
+    wf = (intra == 0).astype(np.int32) | (
+        2 * (intra == np.repeat(counts, counts) - 1).astype(np.int32)
     )
+    return RowTables(bounds, wb, wc, wf, edge_chunk)
 
 
-def build_row_tables(receivers: np.ndarray, num_nodes: int) -> RowTables:
+def build_row_tables(
+    receivers: np.ndarray,
+    num_nodes: int,
+    *,
+    edge_chunk: int = DEFAULT_EDGE_CHUNK,
+) -> RowTables:
     """Host-side: boundary + work-list tables from sorted receivers."""
     receivers = np.asarray(receivers)
     num_blocks = -(-num_nodes // ROW_BLOCK)
@@ -101,7 +118,7 @@ def build_row_tables(receivers: np.ndarray, num_nodes: int) -> RowTables:
     row_ptr = np.searchsorted(
         receivers, np.arange(n_pad + 1), side="left"
     ).astype(np.int64)
-    return _tables_from_row_ptr(row_ptr, num_blocks)
+    return _tables_from_row_ptr(row_ptr, num_blocks, edge_chunk)
 
 
 def _kernel(
@@ -113,56 +130,71 @@ def _kernel(
     bounds_ref,  # [1, 2, ROW_BLOCK]
     msg_ref,  # [EDGE_CHUNK, F]
     # output
-    out_ref,  # [ROW_BLOCK, F] (revisited across items of one block)
+    out_ref,  # [ROW_BLOCK, F] (write-only; flushed on block change)
+    # scratch
+    acc_ref,  # [ROW_BLOCK, F] fp32 accumulator (lives across work items)
     *,
     precision,
+    edge_chunk: int,
 ):
     w = pl.program_id(0)
-    base = work_chunk_ref[w] * EDGE_CHUNK
+    base = work_chunk_ref[w] * edge_chunk
 
-    lo = bounds_ref[0, 0:1, :]  # [1, ROW_BLOCK]
-    hi = bounds_ref[0, 1:2, :]  # [1, ROW_BLOCK]
-    eidx = jax.lax.broadcasted_iota(jnp.int32, (EDGE_CHUNK, 1), 0)
-    gidx = base + eidx
+    # Rows on sublanes (one transpose per work item of a [2, 128] tile),
+    # edge ids on lanes: the one-hot comes out MXU-natural [M, K].
+    lo = bounds_ref[0, 0:1, :].reshape(ROW_BLOCK, 1)
+    hi = bounds_ref[0, 1:2, :].reshape(ROW_BLOCK, 1)
+    eidx = jax.lax.broadcasted_iota(jnp.int32, (1, edge_chunk), 1)
+    gidx = base + eidx  # [1, EDGE_CHUNK]
     msgs = msg_ref[:]
 
     def _dot(a, b, prec):
         return jax.lax.dot_general(
             a,
             b,
-            dimension_numbers=(((0,), (0,)), ((), ())),
+            dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
             precision=prec,
         )
 
+    hit = (gidx >= lo) & (gidx < hi)  # [ROW_BLOCK, EDGE_CHUNK]
     if precision == "split2" and msgs.dtype == jnp.float32:
         # One-hot entries (0/1) are exact in bf16; only the messages need
         # extended precision. Split f32 = hi + lo into two bf16 operands and
         # run two native-rate MXU passes — full f32 fidelity at 2 passes
         # instead of HIGHEST's 6.
-        one_hot = jnp.where(
-            (gidx >= lo) & (gidx < hi), 1.0, 0.0
-        ).astype(jnp.bfloat16)
+        one_hot = jnp.where(hit, 1.0, 0.0).astype(jnp.bfloat16)
         m_hi = msgs.astype(jnp.bfloat16)
         m_lo = (msgs - m_hi.astype(jnp.float32)).astype(jnp.bfloat16)
         contrib = _dot(one_hot, m_hi, jax.lax.Precision.DEFAULT) + _dot(
             one_hot, m_lo, jax.lax.Precision.DEFAULT
         )
-        contrib = contrib.astype(out_ref.dtype)
     else:
         prec = (
             jax.lax.Precision.DEFAULT if precision == "split2" else precision
         )
-        one_hot = ((gidx >= lo) & (gidx < hi)).astype(msgs.dtype)
-        contrib = _dot(one_hot, msgs, prec).astype(out_ref.dtype)
+        one_hot = jnp.where(hit, 1.0, 0.0).astype(msgs.dtype)
+        contrib = _dot(one_hot, msgs, prec)
 
-    @pl.when(work_first_ref[w] == 1)
-    def _():
-        out_ref[:] = contrib
+    flags = work_first_ref[w]
+    is_first = (flags & 1) == 1
+    is_last = (flags & 2) == 2
 
-    @pl.when(work_first_ref[w] == 0)
+    # Accumulate in scratch (persistent across sequential grid steps) and
+    # touch out_ref write-only, once per block — a read-modify-write on a
+    # dynamically-indexed out block would force conservative reload/flush
+    # of the output pipeline every step.
+    @pl.when(is_first)
     def _():
-        out_ref[:] += contrib
+        acc_ref[:] = contrib
+
+    @pl.when(jnp.logical_not(is_first))
+    def _():
+        acc_ref[:] += contrib
+
+    @pl.when(is_last)
+    def _():
+        out_ref[:] = acc_ref[:].astype(out_ref.dtype)
 
 
 def _scatter_sum_sorted_impl(
@@ -173,6 +205,7 @@ def _scatter_sum_sorted_impl(
     work_first: jax.Array,
     num_blocks: int,
     precision,
+    edge_chunk: int,
 ) -> jax.Array:
     e, f = messages.shape
     num_work = work_block.shape[0]
@@ -186,7 +219,7 @@ def _scatter_sum_sorted_impl(
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (EDGE_CHUNK, f),
+                (edge_chunk, f),
                 lambda w, wb, wc, wf: (wc[w], 0),
                 memory_space=pltpu.VMEM,
             ),
@@ -196,13 +229,16 @@ def _scatter_sum_sorted_impl(
             lambda w, wb, wc, wf: (wb[w], 0),
             memory_space=pltpu.VMEM,
         ),
+        scratch_shapes=[pltpu.VMEM((ROW_BLOCK, f), jnp.float32)],
     )
-    flops = 2 * num_work * EDGE_CHUNK * ROW_BLOCK * f
+    flops = 2 * num_work * edge_chunk * ROW_BLOCK * f
     bytes_accessed = (
-        num_work * EDGE_CHUNK * f * messages.dtype.itemsize
+        num_work * edge_chunk * f * messages.dtype.itemsize
         + num_blocks * ROW_BLOCK * f * messages.dtype.itemsize
     )
-    kernel = functools.partial(_kernel, precision=precision)
+    kernel = functools.partial(
+        _kernel, precision=precision, edge_chunk=edge_chunk
+    )
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -215,27 +251,30 @@ def _scatter_sum_sorted_impl(
     )(work_block, work_chunk, work_first, bounds, messages)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
-def _scatter_sum_core(messages, aux, num_nodes, precision):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def _scatter_sum_core(messages, aux, num_nodes, precision, edge_chunk):
     receivers, bounds, work_block, work_chunk, work_first = aux
     num_blocks = -(-num_nodes // ROW_BLOCK)
     # Pad the edge axis inside the custom-VJP boundary (cotangent shape must
     # match the unpadded messages): the last work chunk can overhang E.
     e = messages.shape[0]
-    e_pad = ((e + EDGE_CHUNK - 1) // EDGE_CHUNK) * EDGE_CHUNK
+    e_pad = ((e + edge_chunk - 1) // edge_chunk) * edge_chunk
     messages = jnp.pad(messages, ((0, e_pad - e), (0, 0)))
     out = _scatter_sum_sorted_impl(
         messages, bounds, work_block, work_chunk, work_first, num_blocks,
-        precision,
+        precision, edge_chunk,
     )
     return out[:num_nodes]
 
 
-def _fwd(messages, aux, num_nodes, precision):
-    return _scatter_sum_core(messages, aux, num_nodes, precision), aux
+def _fwd(messages, aux, num_nodes, precision, edge_chunk):
+    return (
+        _scatter_sum_core(messages, aux, num_nodes, precision, edge_chunk),
+        aux,
+    )
 
 
-def _bwd(num_nodes, precision, aux, g):
+def _bwd(num_nodes, precision, edge_chunk, aux, g):
     receivers = aux[0]
     dmsg = jnp.take(g, receivers, axis=0)
     return dmsg, None
@@ -252,19 +291,19 @@ def scatter_sum_sorted(
     mask: jax.Array | None = None,
     tables: RowTables | None = None,
     precision="split2",
+    edge_chunk: int = DEFAULT_EDGE_CHUNK,
 ) -> jax.Array:
     """Sum-reduce receiver-sorted ``[E, F]`` messages into ``[N, F]`` rows.
 
     ``tables`` (from :func:`build_row_tables`) skips host bucketization on
-    every call — pass it for static graphs. ``precision`` controls the MXU
-    pass count of the one-hot contraction: ``"split2"`` (default) gives
+    every call — pass it for static graphs (its ``edge_chunk`` then
+    overrides the argument). ``precision``: ``"split2"`` (default) gives
     full f32 fidelity from two native-rate bf16 passes; ``HIGHEST`` uses
-    XLA's 6-pass f32 path; ``DEFAULT`` is single-pass bf16-rate (exact for
-    bf16 messages).
+    XLA's multi-pass f32 path; ``DEFAULT`` is single-pass bf16-rate (exact
+    rate for bf16 messages).
 
-    Without ``tables`` the receivers must be constant under jit for the
-    work list to be derived on host (uses pure_callback-free numpy on
-    concrete arrays; inside jit, pass ``tables``).
+    Without ``tables`` the receivers must be concrete (not traced) so the
+    work list can be derived on host; inside jit, pass ``tables``.
     """
     if messages.ndim != 2:
         raise ValueError(f"messages must be [E, F], got {messages.shape}")
@@ -274,7 +313,7 @@ def scatter_sum_sorted(
         recv_np = np.asarray(jax.device_get(receivers))
         if not np.all(recv_np[1:] >= recv_np[:-1]):
             raise ValueError("receivers must be sorted (receiver-major CSR)")
-        tables = build_row_tables(recv_np, num_nodes)
+        tables = build_row_tables(recv_np, num_nodes, edge_chunk=edge_chunk)
     aux = (
         receivers.astype(jnp.int32),
         jnp.asarray(tables.bounds),
@@ -282,4 +321,6 @@ def scatter_sum_sorted(
         jnp.asarray(tables.work_chunk),
         jnp.asarray(tables.work_first),
     )
-    return _scatter_sum_core(messages, aux, num_nodes, precision)
+    return _scatter_sum_core(
+        messages, aux, num_nodes, precision, tables.edge_chunk
+    )
