@@ -104,22 +104,26 @@ def main():
 
     grad_fn, params, num_edges = build_workload()
 
-    # Warmup / compile.
+    # Warmup / compile; force a real device fetch (on relayed/tunneled TPU
+    # backends block_until_ready can return before execution completes, so
+    # all timing below uses device_get syncs and an iteration-count slope
+    # to cancel the fetch round-trip).
     loss, grads = grad_fn(params)
-    jax.block_until_ready((loss, grads))
+    _ = jax.device_get(loss)
 
-    # Timed blocks.
-    best = float("inf")
-    for _ in range(3):
-        block = 20
-        t0 = time.perf_counter()
-        for _ in range(block):
-            loss, grads = grad_fn(params)
-        jax.block_until_ready((loss, grads))
-        dt = (time.perf_counter() - t0) / block
-        best = min(best, dt)
+    def timed(k: int) -> float:
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            for _ in range(k):
+                loss, _g = grad_fn(params)
+            _ = jax.device_get(loss)
+            best = min(best, time.perf_counter() - t0)
+        return best
 
-    edges_per_s = num_edges / best
+    k_lo, k_hi = 2, 22
+    per_step = (timed(k_hi) - timed(k_lo)) / (k_hi - k_lo)
+    edges_per_s = num_edges / per_step
     print(
         json.dumps(
             {

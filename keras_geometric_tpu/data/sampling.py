@@ -84,7 +84,19 @@ class NeighborSampler:
     def _sample_neighbors(self, nodes: np.ndarray, fanout: int):
         """For each node, sample up to ``fanout`` in-neighbors (without
         replacement when degree >= fanout). Returns [len(nodes), fanout]
-        sender ids with -1 padding."""
+        sender ids with -1 padding. Uses the native C++ sampler when
+        available (the Python loop dominates epoch time at OGB scale)."""
+        from .. import native as _native  # local import; cheap after first
+
+        if _native.available():
+            seed = int(self._rng.integers(0, 2**63 - 1))
+            return _native.uniform_sample(
+                self._sorted_senders,
+                self._in_ptr,
+                np.ascontiguousarray(nodes, np.int64),
+                fanout,
+                seed=seed,
+            )
         out = np.full((len(nodes), fanout), -1, np.int64)
         for i, v in enumerate(nodes):
             lo, hi = self._in_ptr[v], self._in_ptr[v + 1]

@@ -1,0 +1,139 @@
+"""Error-contract tests (reference analog: tests/unit/test_error_handling.py).
+
+Covers invalid aggregators, malformed shapes, degenerate graphs, duplicate
+edges, extreme values, layer reuse, and mixed dtypes.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import keras_geometric_tpu as kgt
+from keras_geometric_tpu.nn.aggregators import aggregate
+from keras_geometric_tpu.nn.module import get_activation, get_initializer
+
+
+class TestInvalidArguments:
+    def test_invalid_aggregator_name(self):
+        with pytest.raises(ValueError, match="Invalid aggregator"):
+            aggregate("bogus", jnp.ones((2, 2)), jnp.zeros(2, jnp.int32), 2)
+
+    def test_bad_edge_index_rank(self):
+        with pytest.raises(ValueError, match="rank-2"):
+            kgt.ensure_edge_index(jnp.zeros((3,), jnp.int32))
+
+    def test_bad_edge_index_shape(self):
+        with pytest.raises(ValueError, match=r"\[2, E\]"):
+            kgt.ensure_edge_index(jnp.zeros((3, 5), jnp.int32))
+
+    def test_unknown_initializer(self):
+        with pytest.raises(ValueError, match="Unknown initializer"):
+            get_initializer("bogus_init")
+
+    def test_unknown_activation(self):
+        with pytest.raises(ValueError, match="Unknown activation"):
+            get_activation("bogus_act")
+
+    def test_graphdata_bad_edge_index(self):
+        with pytest.raises(ValueError):
+            kgt.GraphData(x=np.zeros((3, 2)), edge_index=np.zeros((3, 5)))
+
+
+class TestDegenerateGraphs:
+    def test_single_node_no_edges(self, rng):
+        layer = kgt.GCNConv(output_dim=4)
+        params = layer.init(rng, 3)
+        out = layer.apply(
+            params, jnp.ones((1, 3)), jnp.zeros((2, 0), jnp.int32)
+        )
+        assert out.shape == (1, 4)
+        assert np.all(np.isfinite(np.asarray(out)))
+
+    def test_single_node_self_loop(self, rng):
+        for layer in [
+            kgt.GCNConv(output_dim=4),
+            kgt.GINConv(output_dim=4),
+            kgt.SAGEConv(output_dim=4),
+            kgt.GATv2Conv(output_dim=4),
+        ]:
+            params = layer.init(rng, 3)
+            out = layer.apply(
+                params, jnp.ones((1, 3)), jnp.zeros((2, 1), jnp.int32)
+            )
+            assert np.all(np.isfinite(np.asarray(out)))
+
+    def test_duplicate_edges_are_summed(self, rng):
+        layer = kgt.GCNConv(
+            output_dim=2, add_self_loops=False, normalize=False, use_bias=False
+        )
+        params = layer.init(rng, 2)
+        ei1 = jnp.asarray([[0, 0], [1, 1]])  # duplicated edge 0->1
+        ei2 = jnp.asarray([[0], [1]])
+        x = jnp.ones((2, 2))
+        out_dup = layer.apply(params, x, ei1)
+        out_single = layer.apply(params, x, ei2)
+        np.testing.assert_allclose(out_dup[1], 2 * out_single[1], rtol=1e-5)
+
+    def test_isolated_nodes_zero_aggregate(self, rng):
+        # Node 2 receives nothing -> SAGE neighbor term is zeros.
+        layer = kgt.SAGEConv(output_dim=3, activation=None, use_bias=False,
+                             root_weight=False)
+        params = layer.init(rng, 3)
+        out = layer.apply(
+            params, jnp.ones((3, 3)), jnp.asarray([[0], [1]])
+        )
+        np.testing.assert_allclose(out[2], np.zeros(3), atol=1e-7)
+
+
+class TestNumericalEdgeCases:
+    def test_large_values_stay_finite(self, rng):
+        layer = kgt.GATv2Conv(output_dim=4, heads=2)
+        params = layer.init(rng, 3)
+        x = 1e4 * jnp.ones((5, 3))
+        ei = jnp.asarray(np.random.default_rng(0).integers(0, 5, (2, 10)))
+        out = layer.apply(params, x, ei)
+        assert np.all(np.isfinite(np.asarray(out)))
+
+    def test_negative_values_max_aggregator(self):
+        # All-negative messages: max keeps negatives, isolated nodes get 0.
+        msgs = -jnp.ones((2, 3))
+        recv = jnp.asarray([0, 0])
+        out = aggregate("max", msgs, recv, 2)
+        np.testing.assert_allclose(out[0], -np.ones(3))
+        np.testing.assert_allclose(out[1], np.zeros(3))
+
+    def test_mixed_dtype_edge_index(self, rng):
+        layer = kgt.GCNConv(output_dim=4)
+        params = layer.init(rng, 3)
+        x = jnp.ones((4, 3))
+        out64 = layer.apply(
+            params, x, jnp.asarray([[0, 1], [1, 2]], jnp.int64)
+        )
+        out32 = layer.apply(
+            params, x, jnp.asarray([[0, 1], [1, 2]], jnp.int32)
+        )
+        np.testing.assert_allclose(out64, out32, rtol=1e-6)
+
+
+class TestLayerReuse:
+    def test_same_params_two_graphs(self, rng):
+        """Functional layers are stateless: one param set, many graphs."""
+        layer = kgt.GINConv(output_dim=4)
+        params = layer.init(rng, 3)
+        g1 = (jnp.ones((5, 3)), jnp.asarray([[0, 1], [1, 2]]))
+        g2 = (jnp.ones((9, 3)), jnp.asarray([[3, 4, 5], [6, 7, 8]]))
+        o1 = layer.apply(params, *g1)
+        o2 = layer.apply(params, *g2)
+        assert o1.shape == (5, 4) and o2.shape == (9, 4)
+
+    def test_apply_does_not_mutate_params(self, rng):
+        layer = kgt.SAGEConv(output_dim=4)
+        params = layer.init(rng, 3)
+        before = jax.tree_util.tree_map(lambda a: np.asarray(a).copy(), params)
+        layer.apply(params, jnp.ones((3, 3)), jnp.asarray([[0], [1]]))
+        after = jax.tree_util.tree_map(np.asarray, params)
+        for b, a in zip(
+            jax.tree_util.tree_leaves(before), jax.tree_util.tree_leaves(after)
+        ):
+            np.testing.assert_array_equal(b, a)
