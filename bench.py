@@ -35,9 +35,8 @@ def build_workload():
     import jax
     import jax.numpy as jnp
 
-    import keras_geometric_tpu as kgt
     from keras_geometric_tpu.models import GNNEncoder
-    from keras_geometric_tpu.ops.graph_ops import coo_to_csr
+    from keras_geometric_tpu.ops.csr import prepare_graph
 
     rng = np.random.default_rng(0)
     x = rng.standard_normal((ARXIV_NODES, ARXIV_FEATS)).astype(np.float32)
@@ -45,25 +44,15 @@ def build_workload():
     receivers = rng.integers(0, ARXIV_NODES, ARXIV_EDGES).astype(np.int32)
     y = rng.integers(0, ARXIV_CLASSES, ARXIV_NODES).astype(np.int32)
 
-    # Framework-prescribed preprocessing (once, outside the step): add
-    # self-loops, receiver-sort to CSR order, precompute GCN norm. All in
-    # host numpy — eager device ops pay per-op compile latency on tunneled
-    # TPU backends.
-    del kgt
-    s = np.concatenate([senders, np.arange(ARXIV_NODES, dtype=np.int32)])
-    r = np.concatenate([receivers, np.arange(ARXIV_NODES, dtype=np.int32)])
-    csr = coo_to_csr(s, r, ARXIV_NODES)
-    deg = np.bincount(csr.receivers, minlength=ARXIV_NODES).astype(np.float64)
-    inv_sqrt = np.power(deg + 1e-12, -0.5)
-    inv_sqrt[np.isinf(inv_sqrt)] = 0.0
-    norm = jnp.asarray(
-        (inv_sqrt[csr.receivers] * inv_sqrt[csr.senders]).astype(np.float32)
+    # Framework-prescribed preprocessing (once, on host): self-loops +
+    # GCN norm + both CSR orientations (forward scatter and gather-backward
+    # scatter both run the sorted Pallas kernel).
+    ctx = prepare_graph(
+        np.stack([senders, receivers]),
+        ARXIV_NODES,
+        add_self_loops=True,
+        gcn_normalize=True,
     )
-    ei = jnp.stack([jnp.asarray(csr.senders), jnp.asarray(csr.receivers)])
-
-    from keras_geometric_tpu.kernels.spmm_pallas import build_row_tables
-
-    tables = build_row_tables(csr.receivers, ARXIV_NODES)
 
     encoder = GNNEncoder(
         conv="gcn",
@@ -83,10 +72,7 @@ def build_workload():
         h = x
         layers = encoder._layers()
         for i, layer in enumerate(layers):
-            h = layer.apply(
-                params[f"layer_{i}"], h, ei, edge_weight=norm,
-                indices_are_sorted=True, spmm_tables=tables,
-            )
+            h = layer.apply(params[f"layer_{i}"], h, context=ctx)
             if i < len(layers) - 1:
                 h = get_activation(encoder.activation)(h)
         logp = jax.nn.log_softmax(h)
@@ -95,8 +81,7 @@ def build_workload():
         )
 
     grad_fn = jax.jit(jax.value_and_grad(loss_fn))
-    num_edges_total = int(ei.shape[1])
-    return grad_fn, params, num_edges_total
+    return grad_fn, params, ctx.num_edges
 
 
 def main():

@@ -66,7 +66,7 @@ class GCNConv(Module):
         self,
         params: dict,
         x: jax.Array,
-        edge_index: jax.Array,
+        edge_index: jax.Array | None = None,
         edge_weight: jax.Array | None = None,
         *,
         edge_mask: jax.Array | None = None,
@@ -75,12 +75,36 @@ class GCNConv(Module):
         rng: jax.Array | None = None,
         indices_are_sorted: bool = False,
         spmm_tables=None,
+        context=None,
     ) -> jax.Array:
         num_nodes = x.shape[0]
         if num_nodes == 0:
             return jnp.zeros((0, self.output_dim), dtype=x.dtype)
 
         h = x @ params["kernel"]  # [N, F_out] single dense MXU matmul
+
+        if context is not None:
+            # Preprocessed GraphContext path (ops.csr.prepare_graph): both
+            # CSR orientations + norm weights ready; self-loop/normalize
+            # flags must have been applied at preparation time.
+            if self.add_self_loops or self.normalize:
+                raise ValueError(
+                    "With a GraphContext, construct GCNConv with "
+                    "add_self_loops=False, normalize=False and fold both "
+                    "into prepare_graph()."
+                )
+            messages = context.gather(h)
+            if context.edge_weight is not None:
+                messages = messages * context.edge_weight[:, None]
+            if edge_weight is not None:
+                messages = messages * edge_weight[:, None]
+            messages = dropout(rng, messages, self.dropout_rate, training)
+            out = context.scatter(messages)
+            if self.use_bias:
+                out = out + params["bias"]
+            return out
+        if edge_index is None:
+            raise ValueError("edge_index required when no context is given")
 
         if edge_index.shape[-1] == 0 and edge_index.shape[0] == 0:
             edge_index = jnp.zeros((2, 0), dtype=jnp.int32)

@@ -1,0 +1,161 @@
+"""Preprocessed CSR graph context: everything the hot path needs, computed once.
+
+SURVEY.md §7.4 item 2: the backward pass of the edge gather (dL/dx_j) is an
+SpMM over the *transposed* graph — so preprocessing builds **both CSR
+orientations** up front:
+
+- receiver-sorted edges + row tables: forward scatter runs the Pallas
+  sorted-SpMM kernel;
+- sender-sorted permutation + row tables: the gather's backward becomes
+  ``permute cotangents -> Pallas sorted scatter`` instead of XLA's slow
+  unsorted scatter-add.
+
+``GraphContext.gather(h)`` is the custom-VJP edge gather wired this way;
+``GraphContext.scatter(messages)`` is the forward scatter. Conv layers and
+benchmarks use these through one object built by :func:`prepare_graph`.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..kernels import spmm_pallas
+from .. import native
+
+__all__ = ["GraphContext", "prepare_graph"]
+
+
+class GraphContext(NamedTuple):
+    """Static per-graph device/host state for the sorted SpMM path."""
+
+    senders: jax.Array  # [E] int32, receiver-sorted order
+    receivers: jax.Array  # [E] int32, non-decreasing
+    edge_weight: jax.Array | None  # [E] f32 (e.g. GCN norm) or None
+    num_nodes: int
+    fwd_tables: spmm_pallas.RowTables  # receiver-sorted scatter tables
+    bwd_perm: jax.Array  # [E] int32: receiver-order edge -> sender-sorted pos
+    senders_sorted: jax.Array  # [E] int32 sender-sorted (for bwd scatter)
+    bwd_tables: spmm_pallas.RowTables  # sender-sorted scatter tables
+
+    @property
+    def num_edges(self) -> int:
+        return int(self.senders.shape[0])
+
+    @property
+    def edge_index(self) -> jax.Array:
+        return jnp.stack([self.senders, self.receivers])
+
+    def gather(self, h: jax.Array) -> jax.Array:
+        """``[N, F] -> [E, F]`` sender-row gather with a sorted-scatter VJP."""
+        return _gather_rows(
+            h,
+            (self.senders, self.bwd_perm, self.senders_sorted),
+            self.bwd_tables,
+            self.num_nodes,
+        )
+
+    def scatter(self, messages: jax.Array) -> jax.Array:
+        """``[E, F] -> [N, F]`` receiver scatter-sum (Pallas sorted kernel)."""
+        return spmm_pallas.scatter_sum_sorted(
+            messages, self.receivers, self.num_nodes, tables=self.fwd_tables
+        )
+
+    def spmm(self, h: jax.Array) -> jax.Array:
+        """Full ``A @ h``: gather senders, weight, scatter to receivers."""
+        messages = self.gather(h)
+        if self.edge_weight is not None:
+            messages = messages * self.edge_weight[:, None]
+        return self.scatter(messages)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def _gather_rows(h, idx, bwd_tables, num_nodes):
+    senders, _perm, _ss = idx
+    return jnp.take(h, senders, axis=0)
+
+
+def _gather_fwd(h, idx, bwd_tables, num_nodes):
+    return _gather_rows(h, idx, bwd_tables, num_nodes), idx
+
+
+def _gather_bwd(bwd_tables, num_nodes, idx, g):
+    _senders, perm, senders_sorted = idx
+    # Reorder per-edge cotangents into sender-sorted order, then run the
+    # sorted Pallas scatter — replaces XLA's unsorted scatter-add.
+    g_sorted = jnp.take(g, perm, axis=0)
+    dh = spmm_pallas.scatter_sum_sorted(
+        g_sorted, senders_sorted, num_nodes, tables=bwd_tables
+    )
+    return dh, None
+
+
+_gather_rows.defvjp(_gather_fwd, _gather_bwd)
+
+
+def prepare_graph(
+    edge_index: np.ndarray,
+    num_nodes: int,
+    *,
+    add_self_loops: bool = False,
+    gcn_normalize: bool = False,
+    edge_weight: np.ndarray | None = None,
+    edge_chunk: int = spmm_pallas.DEFAULT_EDGE_CHUNK,
+) -> GraphContext:
+    """One-time host preprocessing into a :class:`GraphContext`.
+
+    Sorts edges by receiver (native counting sort when available), builds
+    both scatter orientations' tables, optionally folds in self-loops and
+    reference-exact GCN normalization (utils/main.py:8-33 semantics).
+    """
+    edge_index = np.asarray(edge_index)
+    if edge_index.shape[0] != 2:
+        edge_index = edge_index.T
+    s = edge_index[0].astype(np.int64)
+    r = edge_index[1].astype(np.int64)
+    if add_self_loops:
+        loops = np.arange(num_nodes, dtype=np.int64)
+        s = np.concatenate([s, loops])
+        r = np.concatenate([r, loops])
+        if edge_weight is not None:
+            edge_weight = np.concatenate(
+                [np.asarray(edge_weight), np.ones(num_nodes, np.float32)]
+            )
+
+    perm_r, _ = native.coo_to_csr_perm(r.astype(np.int32), num_nodes)
+    s_sorted_by_r = s[perm_r].astype(np.int32)
+    r_sorted = r[perm_r].astype(np.int32)
+
+    w = None
+    if gcn_normalize:
+        norm = native.gcn_norm_weights(s_sorted_by_r, r_sorted, num_nodes)
+        w = norm
+    if edge_weight is not None:
+        ew = np.asarray(edge_weight, np.float32)[perm_r]
+        w = ew if w is None else w * ew
+
+    fwd_tables = spmm_pallas.build_row_tables(
+        r_sorted, num_nodes, edge_chunk=edge_chunk
+    )
+
+    # Transposed orientation: sort (receiver-sorted) edges by sender.
+    perm_s, _ = native.coo_to_csr_perm(s_sorted_by_r, num_nodes)
+    senders_sorted = s_sorted_by_r[perm_s]
+    bwd_tables = spmm_pallas.build_row_tables(
+        senders_sorted, num_nodes, edge_chunk=edge_chunk
+    )
+
+    return GraphContext(
+        senders=jnp.asarray(s_sorted_by_r),
+        receivers=jnp.asarray(r_sorted),
+        edge_weight=None if w is None else jnp.asarray(w),
+        num_nodes=num_nodes,
+        fwd_tables=fwd_tables,
+        bwd_perm=jnp.asarray(perm_s.astype(np.int32)),
+        senders_sorted=jnp.asarray(senders_sorted),
+        bwd_tables=bwd_tables,
+    )
