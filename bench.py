@@ -29,6 +29,7 @@ ARXIV_FEATS = 128
 ARXIV_CLASSES = 40
 HIDDEN = 256
 REFERENCE_EDGES_PER_S = 100_000 / 5.0  # reference CI threshold anchor
+USE_BF16 = True  # bf16 activations/messages, fp32 loss & accumulation
 
 
 def build_workload():
@@ -63,19 +64,25 @@ def build_workload():
     )
     params = encoder.init(jax.random.PRNGKey(0), ARXIV_FEATS)
 
-    x = jnp.asarray(x)
+    compute_dtype = jnp.bfloat16 if USE_BF16 else jnp.float32
+    if USE_BF16:
+        ctx = ctx._replace(edge_weight=ctx.edge_weight.astype(compute_dtype))
+    x = jnp.asarray(x, compute_dtype)
     y = jnp.asarray(y)
 
     def loss_fn(params):
         from keras_geometric_tpu.nn.module import get_activation
 
+        # bf16 IO / fp32 master params: cast per step (free — fused into
+        # the first matmul), gradients accumulate in fp32.
+        p = jax.tree_util.tree_map(lambda a: a.astype(compute_dtype), params)
         h = x
         layers = encoder._layers()
         for i, layer in enumerate(layers):
-            h = layer.apply(params[f"layer_{i}"], h, context=ctx)
+            h = layer.apply(p[f"layer_{i}"], h, context=ctx)
             if i < len(layers) - 1:
                 h = get_activation(encoder.activation)(h)
-        logp = jax.nn.log_softmax(h)
+        logp = jax.nn.log_softmax(h.astype(jnp.float32))
         return -jnp.mean(
             jnp.take_along_axis(logp, y[:, None].astype(jnp.int32), axis=-1)
         )

@@ -41,9 +41,12 @@ class GraphContext(NamedTuple):
     bwd_perm: jax.Array  # [E] int32: receiver-order edge -> sender-sorted pos
     senders_sorted: jax.Array  # [E] int32 sender-sorted (for bwd scatter)
     bwd_tables: spmm_pallas.RowTables  # sender-sorted scatter tables
+    num_real_edges: int = -1  # unpadded edge count
 
     @property
     def num_edges(self) -> int:
+        if self.num_real_edges >= 0:
+            return self.num_real_edges
         return int(self.senders.shape[0])
 
     @property
@@ -138,24 +141,45 @@ def prepare_graph(
         ew = np.asarray(edge_weight, np.float32)[perm_r]
         w = ew if w is None else w * ew
 
-    fwd_tables = spmm_pallas.build_row_tables(
-        r_sorted, num_nodes, edge_chunk=edge_chunk
+    # Pad the edge axis to the kernel chunk grain ONCE at preparation time —
+    # the scatter kernel otherwise jnp.pads its [E, F] input on every call
+    # (a full extra HBM pass per scatter, fwd and bwd). Padded slots carry
+    # zero weight and point at the last node in both orientations, so they
+    # are exactly neutral whenever a weight is applied; weightless callers
+    # still get correctness from the kernel-side bounds (padded edges fall
+    # outside every row interval only when using explicit weights, so for
+    # safety padded receivers/senders sit at num_nodes-1 with w=0).
+    e_real = int(s_sorted_by_r.shape[0])
+    e_pad = ((e_real + edge_chunk - 1) // edge_chunk) * edge_chunk
+    pad = e_pad - e_real
+    last = max(num_nodes - 1, 0)
+    s_p = np.concatenate([s_sorted_by_r, np.full(pad, last, np.int32)])
+    r_p = np.concatenate([r_sorted, np.full(pad, last, np.int32)])
+    if w is None:
+        w = np.ones(e_real, np.float32)
+    w_p = np.concatenate(
+        [np.asarray(w, np.float32), np.zeros(pad, np.float32)]
     )
 
-    # Transposed orientation: sort (receiver-sorted) edges by sender.
-    perm_s, _ = native.coo_to_csr_perm(s_sorted_by_r, num_nodes)
-    senders_sorted = s_sorted_by_r[perm_s]
+    fwd_tables = spmm_pallas.build_row_tables(
+        r_p, num_nodes, edge_chunk=edge_chunk
+    )
+
+    # Transposed orientation: sort (receiver-sorted, padded) edges by sender.
+    perm_s, _ = native.coo_to_csr_perm(s_p, num_nodes)
+    senders_sorted = s_p[perm_s]
     bwd_tables = spmm_pallas.build_row_tables(
         senders_sorted, num_nodes, edge_chunk=edge_chunk
     )
 
     return GraphContext(
-        senders=jnp.asarray(s_sorted_by_r),
-        receivers=jnp.asarray(r_sorted),
-        edge_weight=None if w is None else jnp.asarray(w),
+        senders=jnp.asarray(s_p),
+        receivers=jnp.asarray(r_p),
+        edge_weight=jnp.asarray(w_p),
         num_nodes=num_nodes,
         fwd_tables=fwd_tables,
         bwd_perm=jnp.asarray(perm_s.astype(np.int32)),
         senders_sorted=jnp.asarray(senders_sorted),
         bwd_tables=bwd_tables,
+        num_real_edges=e_real,
     )
