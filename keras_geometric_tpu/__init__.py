@@ -19,7 +19,7 @@ from .graph import Graph
 from .nn.gatv2_conv import GATv2Conv
 from .nn.gcn_conv import GCNConv
 from .nn.gin_conv import GINConv
-from .nn.message_passing import propagate
+from .nn.message_passing import MessagePassing, propagate
 from .nn.module import MLP, Dense, Module
 from .nn.pooling.attention_pooling import AttentionPooling, Set2Set
 from .nn.pooling.global_pooling import (
@@ -31,6 +31,11 @@ from .nn.pooling.global_pooling import (
 from .nn.sage_conv import SAGEConv
 from .ops.graph_ops import add_self_loops, ensure_edge_index, gcn_norm
 from .utils.data_utils import GraphData, batch_graphs
+
+
+def compute_gcn_normalization(edge_index, num_nodes):
+    """Reference-name alias for :func:`gcn_norm` (utils/main.py:20-33)."""
+    return gcn_norm(edge_index, num_nodes)
 
 
 def get_dataset_classes():
@@ -52,6 +57,8 @@ __all__ = [
     "Dense",
     "MLP",
     "propagate",
+    "MessagePassing",
+    "compute_gcn_normalization",
     # conv layers
     "GCNConv",
     "GINConv",

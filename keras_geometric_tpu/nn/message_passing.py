@@ -30,7 +30,7 @@ import jax.numpy as jnp
 
 from .aggregators import aggregate as _aggregate
 
-__all__ = ["propagate"]
+__all__ = ["propagate", "MessagePassing"]
 
 
 def propagate(
@@ -113,3 +113,72 @@ def propagate(
     if post_update_fn is not None:
         aggregated = post_update_fn(x_target, aggregated)
     return aggregated
+
+
+class MessagePassing:
+    """Subclassable hook-style API (reference-compatible surface).
+
+    Migration aid for users of the reference's class hierarchy
+    (message_passing.py:9-145): subclass and override ``message`` /
+    ``aggregate`` / ``update`` / ``pre_aggregate`` / ``post_update``; call
+    the instance with ``(x, edge_index, edge_attr=None)``. Overrides must
+    be pure functions of their inputs (no hidden state) — the instance
+    itself carries only the aggregator name, so calls are jit-safe.
+
+    New code should prefer the functional :func:`propagate` with closures.
+    """
+
+    def __init__(self, aggregator: str = "mean") -> None:
+        self.aggregator = aggregator
+
+    # -- overridable hooks (reference signatures, self-free semantics) -----
+    def message(self, x_i, x_j, edge_attr=None):
+        return x_j
+
+    def pre_aggregate(self, messages):
+        return messages
+
+    def aggregate(self, messages, receivers, num_nodes):
+        return _aggregate(self.aggregator, messages, receivers, num_nodes)
+
+    def update(self, aggregated, x=None):
+        return aggregated
+
+    def post_update(self, x, updated):
+        return updated
+
+    def propagate(self, x, edge_index, edge_attr=None, **kwargs):
+        return propagate(
+            x,
+            edge_index,
+            aggregator=self.aggregator,
+            message_fn=lambda x_i, x_j, ea: self.message(x_i, x_j, ea),
+            pre_aggregate_fn=self.pre_aggregate,
+            aggregate_fn=lambda m, r, n: self.aggregate(m, r, n),
+            update_fn=lambda agg, x_t: self.update(agg, x_t),
+            post_update_fn=self.post_update,
+            edge_attr=edge_attr,
+            **kwargs,
+        )
+
+    def __call__(self, inputs, edge_attr=None, **kwargs):
+        """Reference call convention: ``[x, edge_index(, edge_attr)]``
+        (message_passing.py:240-254)."""
+        if not isinstance(inputs, (list, tuple)) or len(inputs) < 2:
+            raise ValueError(
+                "Inputs must be a list or tuple containing [x, edge_index]"
+            )
+        x, edge_index = inputs[0], inputs[1]
+        if len(inputs) >= 3 and inputs[2] is not None:
+            edge_attr = inputs[2]
+        import jax.numpy as _jnp
+
+        edge_index = _jnp.asarray(edge_index).astype(_jnp.int32)
+        return self.propagate(x, edge_index, edge_attr=edge_attr, **kwargs)
+
+    def get_config(self) -> dict:
+        return {"aggregator": self.aggregator}
+
+    @classmethod
+    def from_config(cls, config: dict) -> "MessagePassing":
+        return cls(**config)
