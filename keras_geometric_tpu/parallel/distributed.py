@@ -61,6 +61,7 @@ def shard_partitioned_graph(
     y=None,
     masks: dict[str, Any] | None = None,
     axis: str = "graph",
+    halo_plan=None,
 ):
     """Device-put node data + edge shards with graph-axis sharding.
 
@@ -77,14 +78,19 @@ def shard_partitioned_graph(
         if pg.edge_weight is not None
         else np.ones_like(pg.edge_mask, dtype=np.float32)
     )
+    senders = (
+        halo_plan.senders_local if halo_plan is not None else pg.senders_global
+    )
     out: dict[str, Any] = {
         "x": jax.device_put(_node_shards(x, pg), shard),
-        "senders": jax.device_put(pg.senders_global, shard),
+        "senders": jax.device_put(senders, shard),
         "receivers": jax.device_put(pg.receivers_local, shard),
         "edge_mask": jax.device_put(pg.edge_mask, shard),
         "edge_weight": jax.device_put(edge_weight, shard),
         "node_mask": jax.device_put(pg.node_mask, shard),
     }
+    if halo_plan is not None:
+        out["send_idx"] = jax.device_put(halo_plan.send_idx, shard)
     if y is not None:
         out["y"] = jax.device_put(_node_shards(y, pg), shard)
     for name, m in (masks or {}).items():
@@ -108,12 +114,13 @@ def distributed_gcn_encoder(hidden_dims, **kwargs):
 
 
 def _loss_local(
-    encoder, params, x, senders, receivers, ew, em, y, mask, rng, axis, training
+    encoder, params, x, senders, receivers, ew, em, y, mask, rng, axis,
+    training, halo_send_idx=None,
 ):
     """Per-chip masked-CE loss; psum'd to a replicated global mean."""
     logits = encoder_apply_local(
         encoder, params, x, senders, receivers, ew, em,
-        axis=axis, training=training, rng=rng,
+        axis=axis, training=training, rng=rng, halo_send_idx=halo_send_idx,
     )
     logp = jax.nn.log_softmax(logits, axis=-1)
     nll = -jnp.take_along_axis(logp, y[:, None].astype(jnp.int32), axis=-1)[:, 0]
@@ -132,12 +139,14 @@ def make_distributed_train_step(
     *,
     axis: str = "graph",
     donate: bool = True,
+    halo: bool = False,
 ) -> Callable:
     """Build a jitted multi-chip train step.
 
     Signature: ``step(state, data) -> (state, loss)`` where ``data`` is the
     dict from :func:`shard_partitioned_graph` (requires ``y`` and
-    ``train_mask`` entries).
+    ``train_mask`` entries; with ``halo=True`` it must have been built with
+    a ``halo_plan`` so senders are table-local and ``send_idx`` exists).
     """
     import optax
 
@@ -146,7 +155,7 @@ def make_distributed_train_step(
     data_keys = (
         "x", "senders", "receivers", "edge_weight", "edge_mask", "y",
         "train_mask",
-    )
+    ) + (("send_idx",) if halo else ())
     data_specs = {k: P(axis) for k in data_keys}
 
     def loss_fn(params, data, rng):
@@ -165,6 +174,7 @@ def make_distributed_train_step(
             rng,
             axis,
             True,
+            halo_send_idx=sq(data["send_idx"]) if halo else None,
         )
 
     sharded_loss = shard_map(

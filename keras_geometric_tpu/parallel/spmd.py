@@ -49,8 +49,21 @@ __all__ = [
 ]
 
 
-def _gather_full(h_local: jax.Array, axis: str) -> jax.Array:
-    """all_gather the node shard into the full table: [L, F] -> [P*L, F]."""
+def _gather_full(
+    h_local: jax.Array, axis: str, halo_send_idx: jax.Array | None = None
+) -> jax.Array:
+    """Materialize the per-chip sender feature table.
+
+    Default: tiled all_gather of the shard ([L, F] -> [P*L, F]; senders are
+    global ids). With ``halo_send_idx`` (a [P, H] send table from
+    parallel.halo.build_halo_plan): indexed all_to_all exchange producing
+    the compact [L + P*H, F] table (senders must be plan-remapped local
+    ids) — comm drops from N*F to P*H*F per chip.
+    """
+    if halo_send_idx is not None:
+        from .halo import exchange
+
+        return exchange(h_local, halo_send_idx, axis=axis)
     return jax.lax.all_gather(h_local, axis, axis=0, tiled=True)
 
 
@@ -66,6 +79,7 @@ def gcn_apply_local(
     axis: str = "graph",
     training: bool = False,
     rng: jax.Array | None = None,
+    halo_send_idx: jax.Array | None = None,
 ) -> jax.Array:
     """GCN forward on one chip's node/edge shard. Requires normalization and
     self-loops folded into the partition (gcn_conv parity via
@@ -77,7 +91,7 @@ def gcn_apply_local(
         )
     num_local = x_local.shape[0]
     h_local = x_local @ params["kernel"]  # [L, F_out]
-    h_full = _gather_full(h_local, axis)  # [N_pad, F_out]
+    h_full = _gather_full(h_local, axis, halo_send_idx)
     messages = jnp.take(h_full, senders_global, axis=0)
     if edge_weight is not None:
         messages = messages * edge_weight[:, None]
@@ -105,9 +119,10 @@ def gin_apply_local(
     axis: str = "graph",
     training: bool = False,
     rng: jax.Array | None = None,
+    halo_send_idx: jax.Array | None = None,
 ) -> jax.Array:
     num_local = x_local.shape[0]
-    x_full = _gather_full(x_local, axis)
+    x_full = _gather_full(x_local, axis, halo_send_idx)
     messages = jnp.take(x_full, senders_global, axis=0)
     agg = aggregate(
         layer.aggregator,
@@ -133,6 +148,7 @@ def gatv2_apply_local(
     axis: str = "graph",
     training: bool = False,
     rng: jax.Array | None = None,
+    halo_send_idx: jax.Array | None = None,
 ) -> jax.Array:
     """GATv2 forward on one chip. The per-receiver softmax is local because
     edges are partitioned by receiver — no distributed two-pass needed."""
@@ -144,7 +160,7 @@ def gatv2_apply_local(
     num_local = x_local.shape[0]
     h, f = layer.heads, layer.output_dim
     ht_local = (x_local @ params["kernel"]).reshape(num_local, h * f)
-    ht_full = _gather_full(ht_local, axis)
+    ht_full = _gather_full(ht_local, axis, halo_send_idx)
     h_j = jnp.take(ht_full, senders_global, axis=0).reshape(-1, h, f)
     h_i = jnp.take(ht_local, receivers_local, axis=0).reshape(-1, h, f)
 
@@ -184,6 +200,7 @@ def sage_apply_local(
     axis: str = "graph",
     training: bool = False,
     rng: jax.Array | None = None,
+    halo_send_idx: jax.Array | None = None,
 ) -> jax.Array:
     from ..nn.module import get_activation
 
@@ -191,7 +208,7 @@ def sage_apply_local(
     msg_rng = root_rng = None
     if rng is not None:
         msg_rng, root_rng = jax.random.split(rng)
-    x_full = _gather_full(x_local, axis)
+    x_full = _gather_full(x_local, axis, halo_send_idx)
     messages = jnp.take(x_full, senders_global, axis=0)
     messages = _dropout(msg_rng, messages, layer.dropout_rate, training)
     if layer.aggregator == "pooling":
@@ -232,8 +249,11 @@ def encoder_apply_local(
     axis: str = "graph",
     training: bool = False,
     rng: jax.Array | None = None,
+    halo_send_idx: jax.Array | None = None,
 ) -> jax.Array:
-    """Per-chip forward of a models.GNNEncoder stack."""
+    """Per-chip forward of a models.GNNEncoder stack. With
+    ``halo_send_idx``, ``senders_global`` must be the plan-remapped local
+    sender ids (parallel.halo.HaloPlan.senders_local)."""
     from ..nn.module import get_activation
 
     layers = encoder._layers()
@@ -248,7 +268,8 @@ def encoder_apply_local(
         if key is not None:
             layer_rng, drop_rng = jax.random.split(key)
         p = params[f"layer_{i}"]
-        common = dict(axis=axis, training=training, rng=layer_rng)
+        common = dict(axis=axis, training=training, rng=layer_rng,
+                      halo_send_idx=halo_send_idx)
         if isinstance(layer, GCNConv):
             h = gcn_apply_local(
                 layer, p, h, senders_global, receivers_local, edge_weight,

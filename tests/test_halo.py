@@ -1,0 +1,134 @@
+"""Halo-exchange tests: plan correctness and numerical parity with the
+all-gather path on the 8-device virtual mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+from jax.sharding import PartitionSpec as P
+
+from keras_geometric_tpu.parallel import (
+    distributed_gcn_encoder,
+    make_distributed_train_step,
+    make_mesh,
+    partition_graph,
+    shard_partitioned_graph,
+)
+from keras_geometric_tpu.parallel.halo import build_halo_plan, exchange
+from keras_geometric_tpu.parallel.spmd import encoder_apply_local
+from keras_geometric_tpu.training import TrainState
+
+pytestmark = pytest.mark.distributed
+N_DEV = 8
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    return make_mesh((N_DEV,), ("graph",))
+
+
+@pytest.fixture(scope="module")
+def setup():
+    rng = np.random.default_rng(11)
+    n, e, f = 160, 600, 10
+    x = rng.standard_normal((n, f)).astype(np.float32)
+    ei = np.stack([rng.integers(0, n, e), rng.integers(0, n, e)]).astype(np.int32)
+    pg = partition_graph(ei, n, N_DEV, gcn_normalize=True, add_self_loops=True)
+    plan = build_halo_plan(pg)
+    return x, ei, pg, plan
+
+
+class TestPlan:
+    def test_senders_resolve_to_correct_rows(self, setup):
+        x, ei, pg, plan = setup
+        L, H, Pn = pg.nodes_per_part, plan.halo_size, pg.num_parts
+        # Simulate the exchange on host and check every edge sees the right
+        # sender feature.
+        x_shards = np.zeros((Pn, L, x.shape[1]), np.float32)
+        flat = np.concatenate([x, np.zeros((Pn * L - x.shape[0], x.shape[1]),
+                                           np.float32)])
+        x_shards = flat.reshape(Pn, L, -1)
+        for p in range(Pn):
+            # table for chip p
+            recv = np.zeros((Pn, H, x.shape[1]), np.float32)
+            for q in range(Pn):
+                recv[q] = x_shards[q][plan.send_idx[q, p]]
+            table = np.concatenate([x_shards[p], recv.reshape(Pn * H, -1)])
+            for j in range(pg.edge_mask.shape[1]):
+                if not pg.edge_mask[p, j]:
+                    continue
+                g_sender = pg.senders_global[p, j]
+                np.testing.assert_allclose(
+                    table[plan.senders_local[p, j]], flat[g_sender],
+                    err_msg=f"p={p} edge={j}",
+                )
+
+    def test_comm_fraction_below_one(self, setup):
+        # For this random graph halo may be large, but must never exceed the
+        # all-gather volume by construction... it can, on adversarial random
+        # graphs; just sanity-check the diagnostic exists and is positive.
+        _, _, _, plan = setup
+        assert plan.comm_fraction > 0
+
+
+class TestParity:
+    def test_halo_forward_equals_all_gather(self, mesh, setup):
+        x, ei, pg, plan = setup
+        enc = distributed_gcn_encoder((12, 5))
+        params = enc.init(jax.random.PRNGKey(0), x.shape[1])
+
+        data_ag = shard_partitioned_graph(pg, mesh, x=x)
+        data_halo = shard_partitioned_graph(pg, mesh, x=x, halo_plan=plan)
+
+        def fwd(senders, send_idx, halo):
+            def body(p, xx, s, r, w, m, si):
+                return encoder_apply_local(
+                    enc, p, xx[0], s[0], r[0], w[0], m[0],
+                    halo_send_idx=si[0] if halo else None,
+                )[None]
+
+            return jax.jit(
+                jax.shard_map(
+                    body,
+                    mesh=mesh,
+                    in_specs=(P(), P("graph"), P("graph"), P("graph"),
+                              P("graph"), P("graph"), P("graph")),
+                    out_specs=P("graph"),
+                    check_vma=False,
+                )
+            )
+
+        out_ag = fwd(None, None, False)(
+            params, data_ag["x"], data_ag["senders"], data_ag["receivers"],
+            data_ag["edge_weight"], data_ag["edge_mask"], data_ag["x"],
+        )
+        out_halo = fwd(None, None, True)(
+            params, data_halo["x"], data_halo["senders"],
+            data_halo["receivers"], data_halo["edge_weight"],
+            data_halo["edge_mask"], data_halo["send_idx"],
+        )
+        np.testing.assert_allclose(
+            np.asarray(out_ag), np.asarray(out_halo), rtol=1e-5, atol=1e-6
+        )
+
+
+class TestHaloTraining:
+    def test_training_step_runs_and_converges(self, mesh, setup):
+        x, ei, pg, plan = setup
+        y = np.argmax(x[:, :5], axis=1).astype(np.int32)  # learnable labels
+        enc = distributed_gcn_encoder((12, 5))
+        params = enc.init(jax.random.PRNGKey(0), x.shape[1])
+        tx = optax.adam(0.05)
+        state = TrainState.create(params, tx, jax.random.PRNGKey(1))
+        data = shard_partitioned_graph(
+            pg, mesh, x=x, y=y,
+            masks={"train_mask": np.ones(x.shape[0], bool)},
+            halo_plan=plan,
+        )
+        step = make_distributed_train_step(enc, tx, mesh, halo=True)
+        losses = []
+        for _ in range(60):
+            state, loss = step(state, data)
+            losses.append(float(loss))
+        assert losses[-1] < losses[0] * 0.6, (losses[0], losses[-1])
