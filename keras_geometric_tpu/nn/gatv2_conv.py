@@ -77,14 +77,22 @@ class GATv2Conv(Module):
         self,
         params: dict,
         x: jax.Array | tuple[jax.Array, jax.Array],
-        edge_index: jax.Array,
+        edge_index: jax.Array | None = None,
         *,
         edge_mask: jax.Array | None = None,
         node_mask: jax.Array | None = None,
         training: bool = False,
         rng: jax.Array | None = None,
         return_attention: bool = False,
+        context=None,
     ):
+        if context is not None:
+            return self._apply_context(
+                params, x, context, training=training, rng=rng,
+                return_attention=return_attention,
+            )
+        if edge_index is None:
+            raise ValueError("edge_index required when no context is given")
         if isinstance(x, (tuple, list)):
             x_target, x_source = x[0], x[1]
         else:
@@ -134,6 +142,45 @@ class GATv2Conv(Module):
             out = agg.reshape(n, h * f)
         else:
             out = jnp.mean(agg, axis=1)
+        if self.use_bias:
+            out = out + params["bias"]
+        return (out, alpha) if return_attention else out
+
+    def _apply_context(
+        self,
+        params: dict,
+        x: jax.Array,
+        context,
+        *,
+        training: bool = False,
+        rng: jax.Array | None = None,
+        return_attention: bool = False,
+    ):
+        """Kernelized path over a preprocessed GraphContext: gathers carry
+        sorted-scatter VJPs and the aggregation runs the Pallas SpMM.
+        Self-loops must be folded at prepare_graph time."""
+        if self.add_self_loops:
+            raise ValueError(
+                "With a GraphContext, construct GATv2Conv with "
+                "add_self_loops=False and fold loops into prepare_graph()."
+            )
+        n = x.shape[0]
+        h, f = self.heads, self.output_dim
+        ht = x @ params["kernel"]  # [N, H*F]
+        h_j = context.gather(ht).reshape(-1, h, f)
+        h_i = context.gather_receivers(ht).reshape(-1, h, f)
+
+        z = jax.nn.leaky_relu(h_i + h_j, negative_slope=self.negative_slope)
+        scores = jnp.sum(z * params["att"], axis=-1)  # [E, H]
+        alpha = segment_softmax(
+            scores, context.receivers, n, mask=context.edge_mask, eps=1e-10,
+            indices_are_sorted=True,
+        )
+        alpha = dropout(rng, alpha, self.dropout, training)
+        messages = (alpha[:, :, None] * h_j).reshape(-1, h * f)
+        # alpha is already zero on padded slots (masked softmax).
+        agg = context.scatter(messages).reshape(n, h, f)
+        out = agg.reshape(n, h * f) if self.concat else jnp.mean(agg, axis=1)
         if self.use_bias:
             out = out + params["bias"]
         return (out, alpha) if return_attention else out

@@ -77,18 +77,38 @@ class GINConv(Module):
         self,
         params: dict,
         x: jax.Array,
-        edge_index: jax.Array,
+        edge_index: jax.Array | None = None,
         *,
         edge_mask: jax.Array | None = None,
         training: bool = False,
         rng: jax.Array | None = None,
         indices_are_sorted: bool = False,
+        context=None,
     ) -> jax.Array:
         num_nodes = x.shape[0]
         if num_nodes == 0:
             return jnp.zeros((0, self.output_dim), dtype=x.dtype)
         mlp = self._mlp()
         eps = self._eps(params)
+
+        if context is not None:
+            # Kernelized path: sum/mean run the Pallas sorted SpMM.
+            messages = context.gather(x)
+            if self.aggregator == "sum":
+                agg = context.scatter(messages, masked=True)
+            elif self.aggregator == "mean":
+                agg = context.scatter_mean(messages)
+            else:  # max: XLA sorted segment path
+                from ..ops.segment import segment_max
+
+                agg = segment_max(
+                    messages, context.receivers, num_nodes,
+                    mask=context.edge_mask, indices_are_sorted=True,
+                )
+            h = (1 + eps) * x + agg
+            return mlp.apply(params["mlp"], h, training=training, rng=rng)
+        if edge_index is None:
+            raise ValueError("edge_index required when no context is given")
 
         if edge_index.size == 0:
             h = (1 + eps) * x

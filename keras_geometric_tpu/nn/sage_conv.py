@@ -93,12 +93,13 @@ class SAGEConv(Module):
         self,
         params: dict,
         x: jax.Array,
-        edge_index: jax.Array,
+        edge_index: jax.Array | None = None,
         *,
         edge_mask: jax.Array | None = None,
         training: bool = False,
         rng: jax.Array | None = None,
         indices_are_sorted: bool = False,
+        context=None,
     ) -> jax.Array:
         num_nodes = x.shape[0]
         if num_nodes == 0:
@@ -115,7 +116,31 @@ class SAGEConv(Module):
             else input_dim
         )
 
-        if edge_index.size == 0:
+        if context is not None:
+            # Kernelized path: gathers carry sorted-scatter VJPs; sum/mean
+            # aggregate via the Pallas SpMM, the rest via sorted XLA.
+            messages = context.gather(x)
+            messages = dropout(msg_rng, messages, self.dropout_rate, training)
+            if self.aggregator == "pooling":
+                messages = self._pool_mlp(input_dim).apply(
+                    params["pool_mlp"], messages
+                )
+                agg = segment_max(
+                    messages, context.receivers, num_nodes,
+                    mask=context.edge_mask, indices_are_sorted=True,
+                )
+            elif self.aggregator == "sum":
+                agg = context.scatter(messages, masked=True)
+            elif self.aggregator == "mean":
+                agg = context.scatter_mean(messages)
+            else:
+                agg = aggregate(
+                    self.aggregator, messages, context.receivers, num_nodes,
+                    mask=context.edge_mask, indices_are_sorted=True,
+                )
+        elif edge_index is None:
+            raise ValueError("edge_index required when no context is given")
+        elif edge_index.size == 0:
             agg = jnp.zeros((num_nodes, pool_dim), dtype=x.dtype)
         else:
             edge_index = ensure_edge_index(edge_index)

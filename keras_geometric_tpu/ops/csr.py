@@ -42,6 +42,8 @@ class GraphContext(NamedTuple):
     senders_sorted: jax.Array  # [E] int32 sender-sorted (for bwd scatter)
     bwd_tables: spmm_pallas.RowTables  # sender-sorted scatter tables
     num_real_edges: int = -1  # unpadded edge count
+    edge_mask: jax.Array | None = None  # [E] bool, False on padded slots
+    in_degree: jax.Array | None = None  # [N] f32 receiver in-degree (real)
 
     @property
     def num_edges(self) -> int:
@@ -62,10 +64,33 @@ class GraphContext(NamedTuple):
             self.num_nodes,
         )
 
-    def scatter(self, messages: jax.Array) -> jax.Array:
-        """``[E, F] -> [N, F]`` receiver scatter-sum (Pallas sorted kernel)."""
+    def scatter(
+        self, messages: jax.Array, *, masked: bool = False
+    ) -> jax.Array:
+        """``[E, F] -> [N, F]`` receiver scatter-sum (Pallas sorted kernel).
+
+        ``masked=True`` zeroes padded edge slots first — needed whenever the
+        messages were not already nulled by a zero edge weight.
+        """
         return spmm_pallas.scatter_sum_sorted(
-            messages, self.receivers, self.num_nodes, tables=self.fwd_tables
+            messages,
+            self.receivers,
+            self.num_nodes,
+            tables=self.fwd_tables,
+            mask=self.edge_mask if masked else None,
+        )
+
+    def scatter_mean(self, messages: jax.Array, *, masked: bool = True):
+        """Mean aggregation with the reference 1e-8 degree clamp."""
+        total = self.scatter(messages, masked=masked)
+        deg = jnp.maximum(self.in_degree, 1e-8).astype(total.dtype)
+        return total / deg[:, None]
+
+    def gather_receivers(self, h: jax.Array) -> jax.Array:
+        """``[N, F] -> [E, F]`` receiver-row gather (x_i); its backward is a
+        sorted scatter with the forward tables (receivers already sorted)."""
+        return _gather_recv_rows(
+            h, (self.receivers,), self.fwd_tables, self.num_nodes
         )
 
     def spmm(self, h: jax.Array) -> jax.Array:
@@ -98,6 +123,27 @@ def _gather_bwd(bwd_tables, num_nodes, idx, g):
 
 
 _gather_rows.defvjp(_gather_fwd, _gather_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def _gather_recv_rows(h, idx, fwd_tables, num_nodes):
+    (receivers,) = idx
+    return jnp.take(h, receivers, axis=0)
+
+
+def _gather_recv_fwd(h, idx, fwd_tables, num_nodes):
+    return _gather_recv_rows(h, idx, fwd_tables, num_nodes), idx
+
+
+def _gather_recv_bwd(fwd_tables, num_nodes, idx, g):
+    (receivers,) = idx
+    dh = spmm_pallas.scatter_sum_sorted(
+        g, receivers, num_nodes, tables=fwd_tables
+    )
+    return dh, None
+
+
+_gather_recv_rows.defvjp(_gather_recv_fwd, _gather_recv_bwd)
 
 
 def prepare_graph(
@@ -172,6 +218,7 @@ def prepare_graph(
         senders_sorted, num_nodes, edge_chunk=edge_chunk
     )
 
+    deg = np.bincount(r_sorted, minlength=num_nodes).astype(np.float32)
     return GraphContext(
         senders=jnp.asarray(s_p),
         receivers=jnp.asarray(r_p),
@@ -182,4 +229,6 @@ def prepare_graph(
         senders_sorted=jnp.asarray(senders_sorted),
         bwd_tables=bwd_tables,
         num_real_edges=e_real,
+        edge_mask=jnp.asarray(np.arange(e_pad) < e_real),
+        in_degree=jnp.asarray(deg),
     )
