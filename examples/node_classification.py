@@ -64,8 +64,25 @@ def main():
         f"{x.shape[1]} features, {num_classes} classes"
     )
 
-    conv1 = kgt.GCNConv(output_dim=args.hidden, dropout_rate=args.dropout)
-    conv2 = kgt.GCNConv(output_dim=num_classes)
+    # Preprocess once (self-loops + GCN norm + dual CSR orientations); on
+    # TPU this routes aggregation through the Pallas SpMM kernels.
+    use_context = jax.default_backend() not in ("cpu", "gpu")
+    context = None
+    if use_context:
+        from keras_geometric_tpu.ops.csr import prepare_graph
+
+        context = prepare_graph(
+            np.asarray(edge_index), x.shape[0],
+            add_self_loops=True, gcn_normalize=True,
+        )
+        conv_kwargs = {"add_self_loops": False, "normalize": False}
+    else:
+        conv_kwargs = {}
+
+    conv1 = kgt.GCNConv(
+        output_dim=args.hidden, dropout_rate=args.dropout, **conv_kwargs
+    )
+    conv2 = kgt.GCNConv(output_dim=num_classes, **conv_kwargs)
 
     key = jax.random.PRNGKey(0)
     k1, k2 = jax.random.split(key)
@@ -75,9 +92,10 @@ def main():
     }
 
     def forward(params, x, training=False, rng=None):
-        h = conv1.apply(params["conv1"], x, edge_index, training=training, rng=rng)
+        h = conv1.apply(params["conv1"], x, edge_index, training=training,
+                        rng=rng, context=context)
         h = jax.nn.relu(h)
-        return conv2.apply(params["conv2"], h, edge_index)
+        return conv2.apply(params["conv2"], h, edge_index, context=context)
 
     tx = optax.adamw(args.lr, weight_decay=args.weight_decay)
     opt_state = tx.init(params)

@@ -1,42 +1,50 @@
-"""Pallas TPU kernel: receiver-sorted segment-sum (the SpMM scatter phase).
+"""Pallas TPU kernels for sorted-CSR SpMM: scatter-sum and its transpose.
 
-Replaces XLA's scatter lowering for the framework's hottest op: reducing
-``[E, F]`` edge messages into ``[N, F]`` node rows (reference analog:
-``keras.ops.segment_sum``, aggregators.py:126-137 — executed opaquely by
-the backend; here it is a hand-scheduled TPU kernel).
+The framework's hottest ops, hand-scheduled for TPU (reference analog:
+``keras.ops.segment_sum``/``ops.take``, aggregators.py:72 /
+message_passing.py:195 — executed opaquely by the backend):
 
-Design (work-list CSR accumulation, boundary-encoded):
+- :func:`scatter_sum_sorted` — reduce receiver-sorted ``[E, F]`` edge
+  messages into ``[N, F]`` node rows;
+- :func:`expand_sorted` — the exact transpose: replicate ``[N, F]`` node
+  rows out to ``[E, F]`` sorted edge slots (a *sorted gather*). XLA lowers
+  a general gather with runtime sort + unsort passes; for sorted static
+  indices this kernel streams both sides sequentially instead.
 
-- Edges are receiver-sorted (CSR). Rows are tiled into ``ROW_BLOCK`` blocks;
+Shared design (boundary-encoded work-list grid):
+
+- Edges are receiver-sorted. Rows are tiled into ``ROW_BLOCK`` blocks;
   block ``i``'s edges are the contiguous slice
   ``row_ptr[i*RB]:row_ptr[(i+1)*RB]``.
-- The host builds a flat **work list**: one item per (row block, chunk-
-  aligned message window intersecting its edge range). The Pallas grid
-  walks work items; the message chunk arrives through a *scalar-prefetch-
-  driven BlockSpec index_map*, so the Pallas pipeline double-buffers the
-  HBM stream automatically, including across row-block boundaries.
-- The kernel never reads per-edge receiver ids: sortedness means edge ``e``
-  belongs to local row ``r`` iff ``lo[r] <= e < hi[r]``, where ``lo``/``hi``
-  are the block's row boundaries from a tiny per-block table. The one-hot
-  indicator is built directly in MXU-natural ``[ROW_BLOCK, CHUNK]``
-  orientation (rows on sublanes via a once-per-block transpose of lo/hi,
-  edge ids on lanes) — no per-chunk operand relayout.
-- A chunk reduces with **one MXU matmul**: ``one_hot @ messages_chunk``.
-  Out-of-range edges (window overhang, padding) match no row interval and
-  contribute exactly zero.
-- Consecutive work items sharing a row block accumulate into the same
-  VMEM output block (sequential TPU grid => no races); the first item of
-  each block initializes it.
+- The host builds a flat **work list**: one item per (row block,
+  EDGE_CHUNK-aligned message window intersecting its edge range). The
+  Pallas grid walks work items; blocks arrive through *scalar-prefetch-
+  driven BlockSpec index_maps*, so the pipeline double-buffers the HBM
+  streams automatically, including across block boundaries.
+- Neither kernel reads per-edge ids: sortedness means edge ``e`` belongs
+  to local row ``r`` iff ``lo[r] <= e < hi[r]`` — two lane-aligned int32
+  boundary vectors per block. The indicator compiles to two VPU compares
+  and feeds **one MXU matmul** per chunk:
+  scatter: ``one_hot[RB, EC] @ messages[EC, F]``;
+  expand:  ``one_hot[EC, RB] @ rows[RB, F]``.
+  Out-of-range edges match no interval and contribute exactly zero.
+- Optional fused per-edge weights arrive as a ``[num_chunks, EC]``
+  lane-aligned table (one row per chunk) and scale the streamed chunk in
+  VMEM — no separate ``[E, F]`` weighting pass over HBM.
+- Consecutive work items sharing an output block accumulate in VMEM
+  scratch; the output ref is written once per block (write-only — an RMW
+  on a dynamically-indexed out block would deoptimize the pipeline).
 
-HBM traffic: messages read ~once (boundary chunks twice) + ``[N, F]``
-written once — the speed-of-light for this op. MXU: 2*E*ROW_BLOCK*F FLOPs.
+HBM traffic: edge array ~once (boundary chunks twice) + node array once —
+the speed-of-light for these ops. MXU: ``2*E*ROW_BLOCK*F`` FLOPs each.
 
 Precision: one-hot entries are exact in bf16, so ``"split2"`` (default for
-f32 messages) reaches full f32 fidelity with two native-rate bf16 passes
-(hi/lo split of the messages); bf16 messages run a single exact-rate pass.
+f32 data) reaches full f32 fidelity with two native-rate bf16 passes
+(hi/lo split); bf16 data runs a single exact-rate pass.
 
-The backward pass of a sorted scatter-sum is a row gather of the cotangent
-(``take`` by receiver id), which XLA lowers well; the custom VJP uses it.
+VJPs: scatter and expand are each other's transposes, so each backward is
+the other kernel (with the same tables/weights) — no XLA gather/scatter
+appears anywhere in fwd+bwd.
 """
 
 from __future__ import annotations
@@ -50,7 +58,12 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["scatter_sum_sorted", "build_row_tables", "RowTables"]
+__all__ = [
+    "scatter_sum_sorted",
+    "expand_sorted",
+    "build_row_tables",
+    "RowTables",
+]
 
 ROW_BLOCK = 128
 DEFAULT_EDGE_CHUNK = 512
@@ -65,12 +78,16 @@ class RowTables:
         work_block: np.ndarray,
         work_chunk: np.ndarray,
         work_first: np.ndarray,
+        work_cfirst: np.ndarray,
         edge_chunk: int,
     ):
         self.bounds = bounds  # [num_blocks, 2, ROW_BLOCK] int32 (lo, hi)
         self.work_block = work_block  # [W] int32: row-block id of item
         self.work_chunk = work_chunk  # [W] int32: message-chunk index
-        self.work_first = work_first  # [W] int32: 1 if first item of block
+        # bit0: first item of its row block; bit1: last item of its block.
+        self.work_first = work_first  # [W] int32
+        # bit0: first item referencing its chunk; bit1: last such item.
+        self.work_cfirst = work_cfirst  # [W] int32
         self.edge_chunk = int(edge_chunk)
 
     @property
@@ -97,12 +114,15 @@ def _tables_from_row_ptr(
     offs = np.concatenate([[0], np.cumsum(counts)[:-1]])
     intra = np.arange(total, dtype=np.int64) - np.repeat(offs, counts)
     wc = (np.repeat(c0, counts) + intra).astype(np.int32)
-    # Pack first/last item flags into one scalar array: bit0 = first item of
-    # its row block, bit1 = last item.
     wf = (intra == 0).astype(np.int32) | (
         2 * (intra == np.repeat(counts, counts) - 1).astype(np.int32)
     )
-    return RowTables(bounds, wb, wc, wf, edge_chunk)
+    cfirst = np.ones(total, np.int32)
+    cfirst[1:] = (wc[1:] != wc[:-1]).astype(np.int32)
+    clast = np.ones(total, np.int32)
+    clast[:-1] = (wc[1:] != wc[:-1]).astype(np.int32)
+    wcf = cfirst | (2 * clast)
+    return RowTables(bounds, wb, wc, wf, wcf, edge_chunk)
 
 
 def build_row_tables(
@@ -121,69 +141,74 @@ def build_row_tables(
     return _tables_from_row_ptr(row_ptr, num_blocks, edge_chunk)
 
 
-def _kernel(
-    # scalar prefetch
-    work_block_ref,  # [W] SMEM
-    work_chunk_ref,  # [W] SMEM
-    work_first_ref,  # [W] SMEM
-    # inputs (pipelined VMEM blocks)
-    bounds_ref,  # [1, 2, ROW_BLOCK]
-    msg_ref,  # [EDGE_CHUNK, F]
-    # output
-    out_ref,  # [ROW_BLOCK, F] (write-only; flushed on block change)
-    # scratch
-    acc_ref,  # [ROW_BLOCK, F] fp32 accumulator (lives across work items)
-    *,
-    precision,
-    edge_chunk: int,
-):
-    w = pl.program_id(0)
-    base = work_chunk_ref[w] * edge_chunk
+def _weights_2d(weights: jax.Array, edge_chunk: int) -> jax.Array:
+    """Reshape a padded [E] weight vector to the [chunks, EC] kernel table."""
+    e = weights.shape[0]
+    assert e % edge_chunk == 0, "weights must be chunk-padded"
+    return weights.reshape(e // edge_chunk, edge_chunk)
 
-    # Rows on sublanes (one transpose per work item of a [2, 128] tile),
-    # edge ids on lanes: the one-hot comes out MXU-natural [M, K].
-    lo = bounds_ref[0, 0:1, :].reshape(ROW_BLOCK, 1)
-    hi = bounds_ref[0, 1:2, :].reshape(ROW_BLOCK, 1)
-    eidx = jax.lax.broadcasted_iota(jnp.int32, (1, edge_chunk), 1)
-    gidx = base + eidx  # [1, EDGE_CHUNK]
-    msgs = msg_ref[:]
+
+def _dots(one_hot_hit, data, precision, dims):
+    """One-hot contraction with the precision policy applied to ``data``."""
 
     def _dot(a, b, prec):
         return jax.lax.dot_general(
-            a,
-            b,
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=prec,
+            a, b, dimension_numbers=(dims, ((), ())),
+            preferred_element_type=jnp.float32, precision=prec,
         )
 
-    hit = (gidx >= lo) & (gidx < hi)  # [ROW_BLOCK, EDGE_CHUNK]
-    if precision == "split2" and msgs.dtype == jnp.float32:
-        # One-hot entries (0/1) are exact in bf16; only the messages need
-        # extended precision. Split f32 = hi + lo into two bf16 operands and
-        # run two native-rate MXU passes — full f32 fidelity at 2 passes
-        # instead of HIGHEST's 6.
-        one_hot = jnp.where(hit, 1.0, 0.0).astype(jnp.bfloat16)
-        m_hi = msgs.astype(jnp.bfloat16)
-        m_lo = (msgs - m_hi.astype(jnp.float32)).astype(jnp.bfloat16)
-        contrib = _dot(one_hot, m_hi, jax.lax.Precision.DEFAULT) + _dot(
-            one_hot, m_lo, jax.lax.Precision.DEFAULT
+    if precision == "split2" and data.dtype == jnp.float32:
+        one_hot = one_hot_hit.astype(jnp.bfloat16)
+        d_hi = data.astype(jnp.bfloat16)
+        d_lo = (data - d_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        return _dot(one_hot, d_hi, jax.lax.Precision.DEFAULT) + _dot(
+            one_hot, d_lo, jax.lax.Precision.DEFAULT
         )
+    prec = jax.lax.Precision.DEFAULT if precision == "split2" else precision
+    return _dot(one_hot_hit.astype(data.dtype), data, prec)
+
+
+# ---------------------------------------------------------------------------
+# Scatter kernel: messages [E, F] -> rows [N, F].
+# ---------------------------------------------------------------------------
+
+
+def _scatter_kernel(
+    work_block_ref, work_chunk_ref, work_first_ref,  # SMEM scalars
+    bounds_ref,  # [1, 2, ROW_BLOCK]
+    msg_ref,  # [EC, F]
+    *rest,
+    precision,
+    edge_chunk: int,
+    weighted: bool,
+):
+    if weighted:
+        weights_ref, out_ref, acc_ref = rest
     else:
-        prec = (
-            jax.lax.Precision.DEFAULT if precision == "split2" else precision
-        )
-        one_hot = jnp.where(hit, 1.0, 0.0).astype(msgs.dtype)
-        contrib = _dot(one_hot, msgs, prec)
+        (out_ref, acc_ref) = rest
+        weights_ref = None
+    w = pl.program_id(0)
+    base = work_chunk_ref[w] * edge_chunk
+
+    # Rows on sublanes, edge ids on lanes: one-hot is MXU-natural [M, K].
+    lo = bounds_ref[0, 0:1, :].reshape(ROW_BLOCK, 1)
+    hi = bounds_ref[0, 1:2, :].reshape(ROW_BLOCK, 1)
+    eidx = jax.lax.broadcasted_iota(jnp.int32, (1, edge_chunk), 1)
+    gidx = base + eidx  # [1, EC]
+    msgs = msg_ref[:]
+    if weighted:
+        # Scale the chunk in VMEM (no HBM weighting pass); padded slots
+        # carry zero weight.
+        wcol = weights_ref[0:1, :].reshape(edge_chunk, 1)
+        msgs = msgs * wcol.astype(msgs.dtype)
+
+    hit = jnp.where((gidx >= lo) & (gidx < hi), 1.0, 0.0)
+    contrib = _dots(hit, msgs, precision, ((1,), (0,)))
 
     flags = work_first_ref[w]
     is_first = (flags & 1) == 1
     is_last = (flags & 2) == 2
 
-    # Accumulate in scratch (persistent across sequential grid steps) and
-    # touch out_ref write-only, once per block — a read-modify-write on a
-    # dynamically-indexed out block would force conservative reload/flush
-    # of the output pipeline every step.
     @pl.when(is_first)
     def _():
         acc_ref[:] = contrib
@@ -197,90 +222,239 @@ def _kernel(
         out_ref[:] = acc_ref[:].astype(out_ref.dtype)
 
 
-def _scatter_sum_sorted_impl(
-    messages: jax.Array,
-    bounds: jax.Array,
-    work_block: jax.Array,
-    work_chunk: jax.Array,
-    work_first: jax.Array,
-    num_blocks: int,
-    precision,
-    edge_chunk: int,
-) -> jax.Array:
+def _scatter_impl(
+    messages, bounds, wb, wc, wf, num_blocks, precision, edge_chunk,
+    weights2d=None,
+):
     e, f = messages.shape
-    num_work = work_block.shape[0]
+    num_work = wb.shape[0]
+    in_specs = [
+        pl.BlockSpec((1, 2, ROW_BLOCK), lambda w, b, c, fl: (b[w], 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((edge_chunk, f), lambda w, b, c, fl: (c[w], 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    args = [bounds, messages]
+    if weights2d is not None:
+        in_specs.append(
+            pl.BlockSpec((1, edge_chunk), lambda w, b, c, fl: (c[w], 0),
+                         memory_space=pltpu.VMEM)
+        )
+        args.append(weights2d)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(num_work,),
-        in_specs=[
-            pl.BlockSpec(
-                (1, 2, ROW_BLOCK),
-                lambda w, wb, wc, wf: (wb[w], 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (edge_chunk, f),
-                lambda w, wb, wc, wf: (wc[w], 0),
-                memory_space=pltpu.VMEM,
-            ),
-        ],
-        out_specs=pl.BlockSpec(
-            (ROW_BLOCK, f),
-            lambda w, wb, wc, wf: (wb[w], 0),
-            memory_space=pltpu.VMEM,
-        ),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((ROW_BLOCK, f), lambda w, b, c, fl: (b[w], 0),
+                               memory_space=pltpu.VMEM),
         scratch_shapes=[pltpu.VMEM((ROW_BLOCK, f), jnp.float32)],
     )
-    flops = 2 * num_work * edge_chunk * ROW_BLOCK * f
-    bytes_accessed = (
-        num_work * edge_chunk * f * messages.dtype.itemsize
-        + num_blocks * ROW_BLOCK * f * messages.dtype.itemsize
-    )
     kernel = functools.partial(
-        _kernel, precision=precision, edge_chunk=edge_chunk
+        _scatter_kernel, precision=precision, edge_chunk=edge_chunk,
+        weighted=weights2d is not None,
     )
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct(
-            (num_blocks * ROW_BLOCK, f), messages.dtype
-        ),
+        out_shape=jax.ShapeDtypeStruct((num_blocks * ROW_BLOCK, f),
+                                       messages.dtype),
         cost_estimate=pl.CostEstimate(
-            flops=flops, bytes_accessed=bytes_accessed, transcendentals=0
+            flops=2 * num_work * edge_chunk * ROW_BLOCK * f,
+            bytes_accessed=(num_work * edge_chunk + num_blocks * ROW_BLOCK)
+            * f * messages.dtype.itemsize,
+            transcendentals=0,
         ),
-    )(work_block, work_chunk, work_first, bounds, messages)
+    )(wb, wc, wf, *args)
+
+
+# ---------------------------------------------------------------------------
+# Expand kernel (transpose): rows [N, F] -> sorted edge slots [E, F].
+# ---------------------------------------------------------------------------
+
+
+def _expand_kernel(
+    work_block_ref, work_chunk_ref, work_cfirst_ref,  # SMEM scalars
+    bounds_ref,  # [1, 2, ROW_BLOCK]
+    rows_ref,  # [ROW_BLOCK, F]
+    *rest,
+    precision,
+    edge_chunk: int,
+    weighted: bool,
+):
+    if weighted:
+        weights_ref, out_ref, acc_ref = rest
+    else:
+        (out_ref, acc_ref) = rest
+        weights_ref = None
+    w = pl.program_id(0)
+    base = work_chunk_ref[w] * edge_chunk
+
+    # Edge ids on sublanes, rows on lanes: one-hot is MXU-natural [EC, RB]
+    # with no relayouts at all.
+    lo = bounds_ref[0, 0:1, :]  # [1, ROW_BLOCK]
+    hi = bounds_ref[0, 1:2, :]
+    eidx = jax.lax.broadcasted_iota(jnp.int32, (edge_chunk, 1), 0)
+    gidx = base + eidx  # [EC, 1]
+    rows = rows_ref[:]
+
+    hit = jnp.where((gidx >= lo) & (gidx < hi), 1.0, 0.0)  # [EC, RB]
+    contrib = _dots(hit, rows, precision, ((1,), (0,)))
+    if weighted:
+        wcol = weights_ref[0:1, :].reshape(edge_chunk, 1)
+        contrib = contrib * wcol.astype(contrib.dtype)
+
+    flags = work_cfirst_ref[w]
+    is_first = (flags & 1) == 1
+    is_last = (flags & 2) == 2
+
+    @pl.when(is_first)
+    def _():
+        acc_ref[:] = contrib
+
+    @pl.when(jnp.logical_not(is_first))
+    def _():
+        acc_ref[:] += contrib
+
+    @pl.when(is_last)
+    def _():
+        out_ref[:] = acc_ref[:].astype(out_ref.dtype)
+
+
+def _expand_impl(
+    rows, bounds, wb, wc, wcf, e_pad, precision, edge_chunk, weights2d=None
+):
+    n_pad, f = rows.shape
+    num_work = wb.shape[0]
+    in_specs = [
+        pl.BlockSpec((1, 2, ROW_BLOCK), lambda w, b, c, fl: (b[w], 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((ROW_BLOCK, f), lambda w, b, c, fl: (b[w], 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    args = [bounds, rows]
+    if weights2d is not None:
+        in_specs.append(
+            pl.BlockSpec((1, edge_chunk), lambda w, b, c, fl: (c[w], 0),
+                         memory_space=pltpu.VMEM)
+        )
+        args.append(weights2d)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(num_work,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((edge_chunk, f), lambda w, b, c, fl: (c[w], 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((edge_chunk, f), jnp.float32)],
+    )
+    kernel = functools.partial(
+        _expand_kernel, precision=precision, edge_chunk=edge_chunk,
+        weighted=weights2d is not None,
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((e_pad, f), rows.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * num_work * edge_chunk * ROW_BLOCK * f,
+            bytes_accessed=(num_work * (edge_chunk + ROW_BLOCK)) * f
+            * rows.dtype.itemsize,
+            transcendentals=0,
+        ),
+    )(wb, wc, wcf, *args)
+
+
+# ---------------------------------------------------------------------------
+# Differentiable wrappers (scatter <-> expand transposes).
+# ---------------------------------------------------------------------------
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
-def _scatter_sum_core(messages, aux, num_nodes, precision, edge_chunk):
-    receivers, bounds, work_block, work_chunk, work_first = aux
+def _scatter_core(messages, aux, num_nodes, precision, edge_chunk):
+    receivers, bounds, wb, wc, wf, wcf, weights2d = aux
     num_blocks = -(-num_nodes // ROW_BLOCK)
-    # Pad the edge axis inside the custom-VJP boundary (cotangent shape must
-    # match the unpadded messages): the last work chunk can overhang E.
     e = messages.shape[0]
     e_pad = ((e + edge_chunk - 1) // edge_chunk) * edge_chunk
     messages = jnp.pad(messages, ((0, e_pad - e), (0, 0)))
-    out = _scatter_sum_sorted_impl(
-        messages, bounds, work_block, work_chunk, work_first, num_blocks,
-        precision, edge_chunk,
+    out = _scatter_impl(
+        messages, bounds, wb, wc, wf, num_blocks, precision, edge_chunk,
+        weights2d,
     )
     return out[:num_nodes]
 
 
-def _fwd(messages, aux, num_nodes, precision, edge_chunk):
-    return (
-        _scatter_sum_core(messages, aux, num_nodes, precision, edge_chunk),
+def _scatter_fwd(messages, aux, num_nodes, precision, edge_chunk):
+    return _scatter_core(messages, aux, num_nodes, precision, edge_chunk), (
         aux,
+        messages.shape[0],
     )
 
 
-def _bwd(num_nodes, precision, edge_chunk, aux, g):
-    receivers = aux[0]
-    dmsg = jnp.take(g, receivers, axis=0)
-    return dmsg, None
+def _scatter_bwd(num_nodes, precision, edge_chunk, res, g):
+    aux, e = res
+    receivers, bounds, wb, wc, wf, wcf, weights2d = aux
+    num_blocks = -(-num_nodes // ROW_BLOCK)
+    n_pad = num_blocks * ROW_BLOCK
+    g_pad = jnp.pad(g, ((0, n_pad - g.shape[0]), (0, 0)))
+    e_pad = ((e + edge_chunk - 1) // edge_chunk) * edge_chunk
+    dmsg = _expand_impl(
+        g_pad, bounds, wb, wc, wcf, e_pad, precision, edge_chunk, weights2d
+    )
+    return dmsg[:e], None
 
 
-_scatter_sum_core.defvjp(_fwd, _bwd)
+_scatter_core.defvjp(_scatter_fwd, _scatter_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def _expand_core(rows, aux, num_edges, precision, edge_chunk):
+    receivers, bounds, wb, wc, wf, wcf, weights2d = aux
+    n_pad = bounds.shape[0] * ROW_BLOCK
+    rows = jnp.pad(rows, ((0, n_pad - rows.shape[0]), (0, 0)))
+    e_pad = ((num_edges + edge_chunk - 1) // edge_chunk) * edge_chunk
+    out = _expand_impl(
+        rows, bounds, wb, wc, wcf, e_pad, precision, edge_chunk, weights2d
+    )
+    return out[:num_edges]
+
+
+def _expand_fwd(rows, aux, num_edges, precision, edge_chunk):
+    return _expand_core(rows, aux, num_edges, precision, edge_chunk), (
+        aux,
+        rows.shape[0],
+    )
+
+
+def _expand_bwd(num_edges, precision, edge_chunk, res, g):
+    aux, n = res
+    receivers, bounds, wb, wc, wf, wcf, weights2d = aux
+    e_pad = ((num_edges + edge_chunk - 1) // edge_chunk) * edge_chunk
+    g_pad = jnp.pad(g, ((0, e_pad - g.shape[0]), (0, 0)))
+    nb = bounds.shape[0]
+    drows = _scatter_impl(
+        g_pad, bounds, wb, wc, wf, nb, precision, edge_chunk, weights2d
+    )
+    return drows[:n], None
+
+
+_expand_core.defvjp(_expand_fwd, _expand_bwd)
+
+
+def _make_aux(receivers, tables, weights, edge_chunk):
+    weights2d = None
+    if weights is not None:
+        e = receivers.shape[0]
+        e_pad = ((e + edge_chunk - 1) // edge_chunk) * edge_chunk
+        w = jnp.pad(weights, (0, e_pad - e))
+        weights2d = _weights_2d(w, edge_chunk)
+    return (
+        receivers.astype(jnp.int32),
+        jnp.asarray(tables.bounds),
+        jnp.asarray(tables.work_block),
+        jnp.asarray(tables.work_chunk),
+        jnp.asarray(tables.work_first),
+        jnp.asarray(tables.work_cfirst),
+        weights2d,
+    )
 
 
 def scatter_sum_sorted(
@@ -292,18 +466,15 @@ def scatter_sum_sorted(
     tables: RowTables | None = None,
     precision="split2",
     edge_chunk: int = DEFAULT_EDGE_CHUNK,
+    weights: jax.Array | None = None,
 ) -> jax.Array:
     """Sum-reduce receiver-sorted ``[E, F]`` messages into ``[N, F]`` rows.
 
-    ``tables`` (from :func:`build_row_tables`) skips host bucketization on
-    every call — pass it for static graphs (its ``edge_chunk`` then
-    overrides the argument). ``precision``: ``"split2"`` (default) gives
-    full f32 fidelity from two native-rate bf16 passes; ``HIGHEST`` uses
-    XLA's multi-pass f32 path; ``DEFAULT`` is single-pass bf16-rate (exact
-    rate for bf16 messages).
-
-    Without ``tables`` the receivers must be concrete (not traced) so the
-    work list can be derived on host; inside jit, pass ``tables``.
+    ``tables`` (from :func:`build_row_tables`) skips host bucketization —
+    required under jit with traced receivers. ``weights`` ([E]) are fused
+    into the kernel (messages scaled chunk-wise in VMEM). ``precision``:
+    ``"split2"`` (default) = full f32 fidelity from two bf16 passes;
+    ``DEFAULT`` = single pass (exact rate for bf16 data).
     """
     if messages.ndim != 2:
         raise ValueError(f"messages must be [E, F], got {messages.shape}")
@@ -314,13 +485,34 @@ def scatter_sum_sorted(
         if not np.all(recv_np[1:] >= recv_np[:-1]):
             raise ValueError("receivers must be sorted (receiver-major CSR)")
         tables = build_row_tables(recv_np, num_nodes, edge_chunk=edge_chunk)
-    aux = (
-        receivers.astype(jnp.int32),
-        jnp.asarray(tables.bounds),
-        jnp.asarray(tables.work_block),
-        jnp.asarray(tables.work_chunk),
-        jnp.asarray(tables.work_first),
-    )
-    return _scatter_sum_core(
-        messages, aux, num_nodes, precision, tables.edge_chunk
-    )
+    aux = _make_aux(receivers, tables, weights, tables.edge_chunk)
+    return _scatter_core(messages, aux, num_nodes, precision,
+                         tables.edge_chunk)
+
+
+def expand_sorted(
+    rows: jax.Array,
+    receivers: jax.Array,
+    num_edges: int | None = None,
+    *,
+    tables: RowTables | None = None,
+    precision="split2",
+    edge_chunk: int = DEFAULT_EDGE_CHUNK,
+    weights: jax.Array | None = None,
+) -> jax.Array:
+    """Sorted gather: ``out[e] = rows[receivers[e]] (* weights[e])``.
+
+    The transpose of :func:`scatter_sum_sorted`; replaces
+    ``jnp.take(rows, receivers)`` for sorted static receivers, streaming
+    sequentially instead of XLA's runtime sort/gather/unsort.
+    """
+    if num_edges is None:
+        num_edges = receivers.shape[0]
+    num_nodes = rows.shape[0]
+    if tables is None:
+        recv_np = np.asarray(jax.device_get(receivers))
+        if not np.all(recv_np[1:] >= recv_np[:-1]):
+            raise ValueError("receivers must be sorted")
+        tables = build_row_tables(recv_np, num_nodes, edge_chunk=edge_chunk)
+    aux = _make_aux(receivers, tables, weights, tables.edge_chunk)
+    return _expand_core(rows, aux, num_edges, precision, tables.edge_chunk)

@@ -96,12 +96,13 @@ class GNNEncoder(Module):
         self,
         params: dict,
         x: jax.Array,
-        edge_index: jax.Array,
+        edge_index: jax.Array | None = None,
         *,
         edge_mask: jax.Array | None = None,
         node_mask: jax.Array | None = None,
         training: bool = False,
         rng: jax.Array | None = None,
+        context=None,
     ) -> jax.Array:
         layers = self._layers()
         keys = _split(rng, len(layers))
@@ -115,10 +116,13 @@ class GNNEncoder(Module):
             if key is not None:
                 layer_rng, drop_rng = jax.random.split(key)
             kw: dict[str, Any] = {"training": training, "rng": layer_rng}
-            if isinstance(layer, (GCNConv, GATv2Conv)):
-                kw["node_mask"] = node_mask
-            h = layer.apply(params[f"layer_{i}"], h, edge_index,
-                            edge_mask=edge_mask, **kw)
+            if context is not None:
+                kw["context"] = context
+            else:
+                kw["edge_mask"] = edge_mask
+                if isinstance(layer, (GCNConv, GATv2Conv)):
+                    kw["node_mask"] = node_mask
+            h = layer.apply(params[f"layer_{i}"], h, edge_index, **kw)
             if i < len(layers) - 1:
                 h = act(h)
                 h = _dropout(drop_rng, h, self.dropout_rate, training)

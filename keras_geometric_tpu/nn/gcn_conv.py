@@ -94,12 +94,12 @@ class GCNConv(Module):
                     "into prepare_graph()."
                 )
             messages = context.gather(h)
-            if context.edge_weight is not None:
-                messages = messages * context.edge_weight[:, None]
             if edge_weight is not None:
                 messages = messages * edge_weight[:, None]
             messages = dropout(rng, messages, self.dropout_rate, training)
-            out = context.scatter(messages)
+            # Normalization weights are fused into the scatter kernel
+            # (dropout commutes with the elementwise scale).
+            out = context.scatter_weighted(messages)
             if self.use_bias:
                 out = out + params["bias"]
             return out

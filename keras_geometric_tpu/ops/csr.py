@@ -87,18 +87,28 @@ class GraphContext(NamedTuple):
         return total / deg[:, None]
 
     def gather_receivers(self, h: jax.Array) -> jax.Array:
-        """``[N, F] -> [E, F]`` receiver-row gather (x_i); its backward is a
-        sorted scatter with the forward tables (receivers already sorted)."""
-        return _gather_recv_rows(
-            h, (self.receivers,), self.fwd_tables, self.num_nodes
+        """``[N, F] -> [E, F]`` receiver-row gather (x_i) via the sorted
+        expand kernel — sequential streaming both directions, and its
+        backward is the sorted scatter (same tables)."""
+        return spmm_pallas.expand_sorted(
+            h, self.receivers, tables=self.fwd_tables
+        )
+
+    def scatter_weighted(self, messages: jax.Array) -> jax.Array:
+        """Scatter with the per-edge weights fused into the kernel (no
+        separate [E, F] weighting pass; padded slots carry zero weight)."""
+        return spmm_pallas.scatter_sum_sorted(
+            messages,
+            self.receivers,
+            self.num_nodes,
+            tables=self.fwd_tables,
+            weights=self.edge_weight,
         )
 
     def spmm(self, h: jax.Array) -> jax.Array:
-        """Full ``A @ h``: gather senders, weight, scatter to receivers."""
-        messages = self.gather(h)
-        if self.edge_weight is not None:
-            messages = messages * self.edge_weight[:, None]
-        return self.scatter(messages)
+        """Full ``A @ h``: gather senders, weighted-scatter to receivers
+        (weights fused in-kernel)."""
+        return self.scatter_weighted(self.gather(h))
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
@@ -123,27 +133,6 @@ def _gather_bwd(bwd_tables, num_nodes, idx, g):
 
 
 _gather_rows.defvjp(_gather_fwd, _gather_bwd)
-
-
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
-def _gather_recv_rows(h, idx, fwd_tables, num_nodes):
-    (receivers,) = idx
-    return jnp.take(h, receivers, axis=0)
-
-
-def _gather_recv_fwd(h, idx, fwd_tables, num_nodes):
-    return _gather_recv_rows(h, idx, fwd_tables, num_nodes), idx
-
-
-def _gather_recv_bwd(fwd_tables, num_nodes, idx, g):
-    (receivers,) = idx
-    dh = spmm_pallas.scatter_sum_sorted(
-        g, receivers, num_nodes, tables=fwd_tables
-    )
-    return dh, None
-
-
-_gather_recv_rows.defvjp(_gather_recv_fwd, _gather_recv_bwd)
 
 
 def prepare_graph(

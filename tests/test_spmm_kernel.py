@@ -74,15 +74,17 @@ def test_backward_matches_xla():
     t = K.build_row_tables(recv, 200)
 
     def loss_pallas(m):
-        with pltpu.force_tpu_interpret_mode():
-            return jnp.sum(
-                K.scatter_sum_sorted(m, jnp.asarray(recv), 200, tables=t) ** 2
-            )
+        return jnp.sum(
+            K.scatter_sum_sorted(m, jnp.asarray(recv), 200, tables=t) ** 2
+        )
 
     def loss_xla(m):
         return jnp.sum(jax.ops.segment_sum(m, jnp.asarray(recv), 200) ** 2)
 
-    g = jax.grad(loss_pallas)(jnp.asarray(msgs))
+    # The backward pass now also runs a Pallas kernel (sorted expand), so
+    # the whole grad evaluation sits inside interpret mode.
+    with pltpu.force_tpu_interpret_mode():
+        g = jax.grad(loss_pallas)(jnp.asarray(msgs))
     gref = jax.grad(loss_xla)(jnp.asarray(msgs))
     np.testing.assert_allclose(g, gref, rtol=1e-4, atol=1e-4)
 
