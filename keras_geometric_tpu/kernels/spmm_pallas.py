@@ -142,10 +142,13 @@ def build_row_tables(
 
 
 def _weights_2d(weights: jax.Array, edge_chunk: int) -> jax.Array:
-    """Reshape a padded [E] weight vector to the [chunks, EC] kernel table."""
+    """Reshape a padded [E] weight vector to the [chunks, 1, EC] kernel
+    table (3-D so the per-chunk block equals the trailing array dims —
+    Mosaic requires trailing block dims divisible by (8, 128) or exactly
+    equal to the array dims)."""
     e = weights.shape[0]
     assert e % edge_chunk == 0, "weights must be chunk-padded"
-    return weights.reshape(e // edge_chunk, edge_chunk)
+    return weights.reshape(e // edge_chunk, 1, edge_chunk)
 
 
 def _dots(one_hot_hit, data, precision, dims):
@@ -199,8 +202,12 @@ def _scatter_kernel(
     if weighted:
         # Scale the chunk in VMEM (no HBM weighting pass); padded slots
         # carry zero weight.
-        wcol = weights_ref[0:1, :].reshape(edge_chunk, 1)
-        msgs = msgs * wcol.astype(msgs.dtype)
+        # Keep the (EC, 1) reshape/broadcast in 32-bit (Mosaic restriction:
+        # non-no-op minor-dim insertion needs 32-bit); cast around it.
+        wcol = (
+            weights_ref[0, 0:1, :].astype(jnp.float32).reshape(edge_chunk, 1)
+        )
+        msgs = (msgs.astype(jnp.float32) * wcol).astype(msgs.dtype)
 
     hit = jnp.where((gidx >= lo) & (gidx < hi), 1.0, 0.0)
     contrib = _dots(hit, msgs, precision, ((1,), (0,)))
@@ -237,7 +244,7 @@ def _scatter_impl(
     args = [bounds, messages]
     if weights2d is not None:
         in_specs.append(
-            pl.BlockSpec((1, edge_chunk), lambda w, b, c, fl: (c[w], 0),
+            pl.BlockSpec((1, 1, edge_chunk), lambda w, b, c, fl: (c[w], 0, 0),
                          memory_space=pltpu.VMEM)
         )
         args.append(weights2d)
@@ -300,8 +307,10 @@ def _expand_kernel(
     hit = jnp.where((gidx >= lo) & (gidx < hi), 1.0, 0.0)  # [EC, RB]
     contrib = _dots(hit, rows, precision, ((1,), (0,)))
     if weighted:
-        wcol = weights_ref[0:1, :].reshape(edge_chunk, 1)
-        contrib = contrib * wcol.astype(contrib.dtype)
+        wcol = (
+            weights_ref[0, 0:1, :].astype(jnp.float32).reshape(edge_chunk, 1)
+        )
+        contrib = (contrib.astype(jnp.float32) * wcol).astype(contrib.dtype)
 
     flags = work_cfirst_ref[w]
     is_first = (flags & 1) == 1
@@ -334,7 +343,7 @@ def _expand_impl(
     args = [bounds, rows]
     if weights2d is not None:
         in_specs.append(
-            pl.BlockSpec((1, edge_chunk), lambda w, b, c, fl: (c[w], 0),
+            pl.BlockSpec((1, 1, edge_chunk), lambda w, b, c, fl: (c[w], 0, 0),
                          memory_space=pltpu.VMEM)
         )
         args.append(weights2d)
