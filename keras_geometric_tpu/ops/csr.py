@@ -44,6 +44,7 @@ class GraphContext(NamedTuple):
     num_real_edges: int = -1  # unpadded edge count
     edge_mask: jax.Array | None = None  # [E] bool, False on padded slots
     in_degree: jax.Array | None = None  # [N] f32 receiver in-degree (real)
+    is_symmetric: bool = False  # weighted adjacency equals its transpose
 
     @property
     def num_edges(self) -> int:
@@ -107,7 +108,21 @@ class GraphContext(NamedTuple):
 
     def spmm(self, h: jax.Array) -> jax.Array:
         """Full ``A @ h``: gather senders, weighted-scatter to receivers
-        (weights fused in-kernel)."""
+        (weights fused in-kernel).
+
+        When the weighted adjacency is symmetric (``is_symmetric``, e.g.
+        GCN normalization on an undirected graph), the VJP is the same
+        operator (``Aᵀ = A``) — the backward runs the identical
+        gather+scatter instead of the expand + permutation + transposed
+        scatter chain, saving a full random permutation pass.
+        """
+        if self.is_symmetric:
+            return _spmm_symmetric(
+                h,
+                (self.senders, self.receivers, self.edge_weight),
+                self.fwd_tables,
+                self.num_nodes,
+            )
         return self.scatter_weighted(self.gather(h))
 
 
@@ -135,6 +150,28 @@ def _gather_bwd(bwd_tables, num_nodes, idx, g):
 _gather_rows.defvjp(_gather_fwd, _gather_bwd)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def _spmm_symmetric(h, arrays, fwd_tables, num_nodes):
+    senders, receivers, weights = arrays
+    messages = jnp.take(h, senders, axis=0)
+    return spmm_pallas.scatter_sum_sorted(
+        messages, receivers, num_nodes, tables=fwd_tables, weights=weights
+    )
+
+
+def _spmm_sym_fwd(h, arrays, fwd_tables, num_nodes):
+    return _spmm_symmetric(h, arrays, fwd_tables, num_nodes), arrays
+
+
+def _spmm_sym_bwd(fwd_tables, num_nodes, arrays, g):
+    # Aᵀ = A: the cotangent flows through the same gather + weighted
+    # scatter (re-entering the custom VJP keeps higher-order grads valid).
+    return _spmm_symmetric(g, arrays, fwd_tables, num_nodes), None
+
+
+_spmm_symmetric.defvjp(_spmm_sym_fwd, _spmm_sym_bwd)
+
+
 def prepare_graph(
     edge_index: np.ndarray,
     num_nodes: int,
@@ -143,6 +180,7 @@ def prepare_graph(
     gcn_normalize: bool = False,
     edge_weight: np.ndarray | None = None,
     edge_chunk: int = spmm_pallas.DEFAULT_EDGE_CHUNK,
+    symmetric: bool = False,
 ) -> GraphContext:
     """One-time host preprocessing into a :class:`GraphContext`.
 
@@ -155,6 +193,22 @@ def prepare_graph(
         edge_index = edge_index.T
     s = edge_index[0].astype(np.int64)
     r = edge_index[1].astype(np.int64)
+    if symmetric:
+        # Symmetry of the *weighted* adjacency lets spmm() reuse itself as
+        # its own VJP. Verify the edge multiset is symmetric (GCN
+        # normalization and self-loops preserve symmetry; arbitrary
+        # user edge_weight would not).
+        if edge_weight is not None:
+            raise ValueError(
+                "symmetric=True supports only structural weights "
+                "(gcn_normalize); arbitrary edge_weight breaks Aᵀ=A."
+            )
+        fwd = np.sort(s * num_nodes + r)
+        rev = np.sort(r * num_nodes + s)
+        if not np.array_equal(fwd, rev):
+            raise ValueError(
+                "symmetric=True but the edge multiset is not symmetric"
+            )
     if add_self_loops:
         loops = np.arange(num_nodes, dtype=np.int64)
         s = np.concatenate([s, loops])
@@ -220,4 +274,5 @@ def prepare_graph(
         num_real_edges=e_real,
         edge_mask=jnp.asarray(np.arange(e_pad) < e_real),
         in_degree=jnp.asarray(deg),
+        is_symmetric=symmetric,
     )

@@ -82,3 +82,33 @@ def test_full_spmm_gradient(case):
     np.testing.assert_allclose(
         g1, jax.grad(loss_ref)(h), rtol=1e-3, atol=1e-3
     )
+
+
+class TestSymmetric:
+    def test_symmetric_spmm_grad_matches_general(self):
+        rng = np.random.default_rng(4)
+        n, half, f = 150, 500, 16
+        a = rng.integers(0, n, half)
+        b = rng.integers(0, n, half)
+        ei = np.stack(
+            [np.concatenate([a, b]), np.concatenate([b, a])]
+        ).astype(np.int32)
+        h = jnp.asarray(rng.standard_normal((n, f)).astype(np.float32))
+
+        ctx_sym = prepare_graph(ei, n, add_self_loops=True,
+                                gcn_normalize=True, symmetric=True)
+        ctx_gen = prepare_graph(ei, n, add_self_loops=True,
+                                gcn_normalize=True)
+
+        with pltpu.force_tpu_interpret_mode():
+            out_sym = ctx_sym.spmm(h)
+            out_gen = ctx_gen.spmm(h)
+            g_sym = jax.grad(lambda x: jnp.sum(jnp.tanh(ctx_sym.spmm(x))))(h)
+            g_gen = jax.grad(lambda x: jnp.sum(jnp.tanh(ctx_gen.spmm(x))))(h)
+        np.testing.assert_allclose(out_sym, out_gen, rtol=1e-4, atol=1e-4)
+        np.testing.assert_allclose(g_sym, g_gen, rtol=1e-4, atol=1e-4)
+
+    def test_asymmetric_rejected(self):
+        ei = np.array([[0, 1], [1, 2]], np.int32)
+        with pytest.raises(ValueError, match="not symmetric"):
+            prepare_graph(ei, 3, symmetric=True)
