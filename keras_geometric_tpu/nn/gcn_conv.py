@@ -99,13 +99,27 @@ class GCNConv(Module):
                 # permutation machinery in the backward).
                 out = context.spmm(h)
             else:
+                drop_rng = self_rng = rng
+                if rng is not None and context.self_weight is not None:
+                    drop_rng, self_rng = jax.random.split(rng)
                 messages = context.gather(h)
                 if edge_weight is not None:
                     messages = messages * edge_weight[:, None]
-                messages = dropout(rng, messages, self.dropout_rate, training)
+                messages = dropout(
+                    drop_rng, messages, self.dropout_rate, training
+                )
                 # Normalization weights are fused into the scatter kernel
                 # (dropout commutes with the elementwise scale).
                 out = context.scatter_weighted(messages)
+                if context.self_weight is not None:
+                    # Densified diagonal: reference semantics give appended
+                    # self-loops iid per-element dropout like any edge
+                    # message, so an independent dropout draw here is
+                    # exactly equivalent in distribution.
+                    self_msg = h * context.self_weight[:, None].astype(h.dtype)
+                    out = out + dropout(
+                        self_rng, self_msg, self.dropout_rate, training
+                    )
             if self.use_bias:
                 out = out + params["bias"]
             return out

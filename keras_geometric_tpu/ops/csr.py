@@ -45,12 +45,21 @@ class GraphContext(NamedTuple):
     edge_mask: jax.Array | None = None  # [E] bool, False on padded slots
     in_degree: jax.Array | None = None  # [N] f32 receiver in-degree (real)
     is_symmetric: bool = False  # weighted adjacency equals its transpose
+    # Densified diagonal (prepare_graph(densify_self_loops=True)): appended
+    # self-loops are removed from the edge stream and applied as a dense
+    # elementwise term ``self_weight[:, None] * h`` in spmm() — ~13% of
+    # ogbn-arxiv's edges never touch the gather/scatter path.
+    self_weight: jax.Array | None = None  # [N] f32 or None
+    num_diag: int = 0  # densified self-loop count (for edge accounting)
 
     @property
     def num_edges(self) -> int:
-        if self.num_real_edges >= 0:
-            return self.num_real_edges
-        return int(self.senders.shape[0])
+        base = (
+            self.num_real_edges
+            if self.num_real_edges >= 0
+            else int(self.senders.shape[0])
+        )
+        return base + self.num_diag
 
     @property
     def edge_index(self) -> jax.Array:
@@ -119,11 +128,15 @@ class GraphContext(NamedTuple):
         if self.is_symmetric:
             return _spmm_symmetric(
                 h,
-                (self.senders, self.receivers, self.edge_weight),
+                (self.senders, self.receivers, self.edge_weight,
+                 self.self_weight),
                 self.fwd_tables,
                 self.num_nodes,
             )
-        return self.scatter_weighted(self.gather(h))
+        out = self.scatter_weighted(self.gather(h))
+        if self.self_weight is not None:
+            out = out + h * self.self_weight[:, None].astype(h.dtype)
+        return out
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
@@ -152,11 +165,17 @@ _gather_rows.defvjp(_gather_fwd, _gather_bwd)
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
 def _spmm_symmetric(h, arrays, fwd_tables, num_nodes):
-    senders, receivers, weights = arrays
+    senders, receivers, weights, self_weight = arrays
     messages = jnp.take(h, senders, axis=0)
-    return spmm_pallas.scatter_sum_sorted(
+    out = spmm_pallas.scatter_sum_sorted(
         messages, receivers, num_nodes, tables=fwd_tables, weights=weights
     )
+    if self_weight is not None:
+        # Densified diagonal: self-loop contribution as a dense elementwise
+        # term (the diagonal of a symmetric matrix is symmetric, so the VJP
+        # below stays the same operator).
+        out = out + h * self_weight[:, None].astype(h.dtype)
+    return out
 
 
 def _spmm_sym_fwd(h, arrays, fwd_tables, num_nodes):
@@ -181,12 +200,22 @@ def prepare_graph(
     edge_weight: np.ndarray | None = None,
     edge_chunk: int = spmm_pallas.DEFAULT_EDGE_CHUNK,
     symmetric: bool = False,
+    densify_self_loops: bool = False,
 ) -> GraphContext:
     """One-time host preprocessing into a :class:`GraphContext`.
 
     Sorts edges by receiver (native counting sort when available), builds
     both scatter orientations' tables, optionally folds in self-loops and
     reference-exact GCN normalization (utils/main.py:8-33 semantics).
+
+    ``densify_self_loops=True`` (requires ``add_self_loops=True``) keeps
+    the appended self-loops OUT of the edge stream and stores their
+    (normalization) weights as a dense per-node ``self_weight`` vector
+    instead; ``spmm()`` applies the diagonal as one fused elementwise op.
+    Mathematically identical, but the gather/scatter path processes ~N
+    fewer edges per pass (12.7% of ogbn-arxiv). Only valid for linear
+    per-edge message functions (GCN-style) — do NOT use for attention
+    layers, which need every edge in the stream.
     """
     edge_index = np.asarray(edge_index)
     if edge_index.shape[0] != 2:
@@ -209,7 +238,30 @@ def prepare_graph(
             raise ValueError(
                 "symmetric=True but the edge multiset is not symmetric"
             )
-    if add_self_loops:
+    self_weight = None
+    num_diag = 0
+    densified_norm = None
+    if densify_self_loops:
+        if not add_self_loops:
+            raise ValueError(
+                "densify_self_loops=True requires add_self_loops=True "
+                "(it densifies the loops that would have been appended)"
+            )
+        num_diag = num_nodes
+        if gcn_normalize:
+            # Reference-exact weights (same native routine) computed over
+            # the FULL edge list including the appended loops, then split:
+            # real-edge weights stay in the stream, loop weights become the
+            # dense diagonal.
+            loops = np.arange(num_nodes, dtype=np.int64)
+            s_full = np.concatenate([s, loops]).astype(np.int32)
+            r_full = np.concatenate([r, loops]).astype(np.int32)
+            w_full = native.gcn_norm_weights(s_full, r_full, num_nodes)
+            densified_norm = np.asarray(w_full[: s.shape[0]], np.float32)
+            self_weight = np.asarray(w_full[s.shape[0]:], np.float32)
+        else:
+            self_weight = np.ones(num_nodes, np.float32)
+    elif add_self_loops:
         loops = np.arange(num_nodes, dtype=np.int64)
         s = np.concatenate([s, loops])
         r = np.concatenate([r, loops])
@@ -224,8 +276,10 @@ def prepare_graph(
 
     w = None
     if gcn_normalize:
-        norm = native.gcn_norm_weights(s_sorted_by_r, r_sorted, num_nodes)
-        w = norm
+        if densified_norm is not None:
+            w = densified_norm[perm_r]
+        else:
+            w = native.gcn_norm_weights(s_sorted_by_r, r_sorted, num_nodes)
     if edge_weight is not None:
         ew = np.asarray(edge_weight, np.float32)[perm_r]
         w = ew if w is None else w * ew
@@ -275,4 +329,6 @@ def prepare_graph(
         edge_mask=jnp.asarray(np.arange(e_pad) < e_real),
         in_degree=jnp.asarray(deg),
         is_symmetric=symmetric,
+        self_weight=None if self_weight is None else jnp.asarray(self_weight),
+        num_diag=num_diag,
     )

@@ -19,7 +19,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding
 from jax.sharding import PartitionSpec as P
 
-from ..training.train import TrainState
+from ..training.train import TrainState, label_nll
 
 __all__ = ["stack_padded_batches", "make_dp_graph_classifier_step"]
 
@@ -83,7 +83,7 @@ def make_dp_graph_classifier_step(
         valid = y >= 0
         logp = jax.nn.log_softmax(logits)
         safe_y = jnp.maximum(y, 0)
-        nll = -jnp.take_along_axis(logp, safe_y[:, None], axis=-1)[:, 0]
+        nll = label_nll(logp, safe_y)
         return jnp.sum(nll * valid), jnp.sum(valid)
 
     def step(state: TrainState, data: dict):

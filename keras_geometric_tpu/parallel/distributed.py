@@ -32,6 +32,7 @@ from jax import shard_map
 
 from .partition import PartitionedGraph, partition_graph
 from .spmd import encoder_apply_local
+from ..training.train import label_nll
 
 __all__ = [
     "shard_partitioned_graph",
@@ -123,7 +124,7 @@ def _loss_local(
         axis=axis, training=training, rng=rng, halo_send_idx=halo_send_idx,
     )
     logp = jax.nn.log_softmax(logits, axis=-1)
-    nll = -jnp.take_along_axis(logp, y[:, None].astype(jnp.int32), axis=-1)[:, 0]
+    nll = label_nll(logp, y)
     m = mask.astype(nll.dtype)
     local_sum = jnp.sum(nll * m)
     local_cnt = jnp.sum(m)

@@ -112,3 +112,93 @@ class TestSymmetric:
         ei = np.array([[0, 1], [1, 2]], np.int32)
         with pytest.raises(ValueError, match="not symmetric"):
             prepare_graph(ei, 3, symmetric=True)
+
+
+class TestDensifiedSelfLoops:
+    """densify_self_loops: diag applied densely == loops in the stream."""
+
+    def _sym_case(self):
+        rng = np.random.default_rng(11)
+        n, half, f = 180, 700, 32
+        a = rng.integers(0, n, half).astype(np.int32)
+        b = rng.integers(0, n, half).astype(np.int32)
+        ei = np.stack(
+            [np.concatenate([a, b]), np.concatenate([b, a])]
+        ).astype(np.int32)
+        h = jnp.asarray(rng.standard_normal((n, f)).astype(np.float32))
+        return n, ei, h
+
+    def test_spmm_matches_streamed_loops(self):
+        n, ei, h = self._sym_case()
+        dense = prepare_graph(
+            ei, n, add_self_loops=True, gcn_normalize=True,
+            symmetric=True, densify_self_loops=True,
+        )
+        streamed = prepare_graph(
+            ei, n, add_self_loops=True, gcn_normalize=True, symmetric=True,
+        )
+        assert dense.num_edges == streamed.num_edges  # math edge accounting
+        assert dense.senders.shape[0] < streamed.senders.shape[0]
+        with pltpu.force_tpu_interpret_mode():
+            out_d = dense.spmm(h)
+            out_s = streamed.spmm(h)
+        np.testing.assert_allclose(out_d, out_s, rtol=1e-5, atol=1e-5)
+
+    def test_grad_matches_streamed_loops(self):
+        n, ei, h = self._sym_case()
+        dense = prepare_graph(
+            ei, n, add_self_loops=True, gcn_normalize=True,
+            symmetric=True, densify_self_loops=True,
+        )
+        streamed = prepare_graph(
+            ei, n, add_self_loops=True, gcn_normalize=True, symmetric=True,
+        )
+        with pltpu.force_tpu_interpret_mode():
+            g_d = jax.grad(lambda x: jnp.sum(jnp.tanh(dense.spmm(x))))(h)
+            g_s = jax.grad(lambda x: jnp.sum(jnp.tanh(streamed.spmm(x))))(h)
+        np.testing.assert_allclose(g_d, g_s, rtol=1e-5, atol=1e-5)
+
+    def test_general_path_matches(self):
+        """Non-symmetric densified context: gather+scatter_weighted + diag."""
+        rng = np.random.default_rng(12)
+        n, e, f = 150, 900, 16
+        ei = np.stack(
+            [rng.integers(0, n, e), rng.integers(0, n, e)]
+        ).astype(np.int32)
+        h = jnp.asarray(rng.standard_normal((n, f)).astype(np.float32))
+        dense = prepare_graph(
+            ei, n, add_self_loops=True, gcn_normalize=True,
+            densify_self_loops=True,
+        )
+        streamed = prepare_graph(
+            ei, n, add_self_loops=True, gcn_normalize=True,
+        )
+        with pltpu.force_tpu_interpret_mode():
+            out_d = dense.spmm(h)
+            out_s = streamed.spmm(h)
+        np.testing.assert_allclose(out_d, out_s, rtol=1e-5, atol=1e-5)
+
+    def test_gcn_conv_context_parity(self):
+        """GCNConv(context=densified) == GCNConv(plain edge_index path)."""
+        from keras_geometric_tpu.nn import GCNConv
+
+        n, ei, h_x = self._sym_case()
+        x = h_x
+        layer_ctx = GCNConv(
+            output_dim=24, add_self_loops=False, normalize=False
+        )
+        layer_plain = GCNConv(output_dim=24)
+        params = layer_plain.init(jax.random.PRNGKey(0), x.shape[1])
+        ctx = prepare_graph(
+            ei, n, add_self_loops=True, gcn_normalize=True,
+            symmetric=True, densify_self_loops=True,
+        )
+        with pltpu.force_tpu_interpret_mode():
+            out_ctx = layer_ctx.apply(params, x, context=ctx)
+        out_ref = layer_plain.apply(params, x, jnp.asarray(ei))
+        np.testing.assert_allclose(out_ctx, out_ref, rtol=1e-4, atol=1e-4)
+
+    def test_requires_add_self_loops(self):
+        n, ei, _ = self._sym_case()
+        with pytest.raises(ValueError, match="add_self_loops"):
+            prepare_graph(ei, n, densify_self_loops=True)
