@@ -65,7 +65,7 @@ __all__ = [
     "RowTables",
 ]
 
-ROW_BLOCK = 128
+ROW_BLOCK = 128  # default; per-tables row_block overrides (see build_row_tables)
 DEFAULT_EDGE_CHUNK = 512
 
 
@@ -80,8 +80,9 @@ class RowTables:
         work_first: np.ndarray,
         work_cfirst: np.ndarray,
         edge_chunk: int,
+        row_block: int = ROW_BLOCK,
     ):
-        self.bounds = bounds  # [num_blocks, 2, ROW_BLOCK] int32 (lo, hi)
+        self.bounds = bounds  # [num_blocks, 2, row_block] int32 (lo, hi)
         self.work_block = work_block  # [W] int32: row-block id of item
         self.work_chunk = work_chunk  # [W] int32: message-chunk index
         # bit0: first item of its row block; bit1: last item of its block.
@@ -89,6 +90,7 @@ class RowTables:
         # bit0: first item referencing its chunk; bit1: last such item.
         self.work_cfirst = work_cfirst  # [W] int32
         self.edge_chunk = int(edge_chunk)
+        self.row_block = int(row_block)
 
     @property
     def num_work(self) -> int:
@@ -96,14 +98,14 @@ class RowTables:
 
 
 def _tables_from_row_ptr(
-    row_ptr: np.ndarray, num_blocks: int, edge_chunk: int
+    row_ptr: np.ndarray, num_blocks: int, edge_chunk: int, row_block: int
 ) -> RowTables:
-    n_pad = num_blocks * ROW_BLOCK
-    lo = row_ptr[:n_pad].reshape(num_blocks, ROW_BLOCK)
-    hi = row_ptr[1 : n_pad + 1].reshape(num_blocks, ROW_BLOCK)
+    n_pad = num_blocks * row_block
+    lo = row_ptr[:n_pad].reshape(num_blocks, row_block)
+    hi = row_ptr[1 : n_pad + 1].reshape(num_blocks, row_block)
     bounds = np.stack([lo, hi], axis=1).astype(np.int32)
 
-    starts = row_ptr[::ROW_BLOCK]  # [num_blocks + 1]
+    starts = row_ptr[::row_block]  # [num_blocks + 1]
     s = starts[:-1].astype(np.int64)
     t = starts[1:].astype(np.int64)
     c0 = s // edge_chunk
@@ -122,7 +124,7 @@ def _tables_from_row_ptr(
     clast = np.ones(total, np.int32)
     clast[:-1] = (wc[1:] != wc[:-1]).astype(np.int32)
     wcf = cfirst | (2 * clast)
-    return RowTables(bounds, wb, wc, wf, wcf, edge_chunk)
+    return RowTables(bounds, wb, wc, wf, wcf, edge_chunk, row_block)
 
 
 def build_row_tables(
@@ -130,15 +132,23 @@ def build_row_tables(
     num_nodes: int,
     *,
     edge_chunk: int = DEFAULT_EDGE_CHUNK,
+    row_block: int = ROW_BLOCK,
 ) -> RowTables:
-    """Host-side: boundary + work-list tables from sorted receivers."""
+    """Host-side: boundary + work-list tables from sorted receivers.
+
+    ``row_block``/``edge_chunk`` set the kernel tile geometry. Measured at
+    ogbn-arxiv scale (v5e, bf16, F=256): scatter is fastest at
+    (256, 1024) — fewer boundary-chunk re-reads — while expand prefers
+    (128, 1024); the defaults stay (128, 512) for small-graph friendliness
+    and prepare_graph picks the measured optima per orientation.
+    """
     receivers = np.asarray(receivers)
-    num_blocks = -(-num_nodes // ROW_BLOCK)
-    n_pad = num_blocks * ROW_BLOCK
+    num_blocks = -(-num_nodes // row_block)
+    n_pad = num_blocks * row_block
     row_ptr = np.searchsorted(
         receivers, np.arange(n_pad + 1), side="left"
     ).astype(np.int64)
-    return _tables_from_row_ptr(row_ptr, num_blocks, edge_chunk)
+    return _tables_from_row_ptr(row_ptr, num_blocks, edge_chunk, row_block)
 
 
 def _weights_2d(weights: jax.Array, edge_chunk: int) -> jax.Array:
@@ -194,8 +204,9 @@ def _scatter_kernel(
     base = work_chunk_ref[w] * edge_chunk
 
     # Rows on sublanes, edge ids on lanes: one-hot is MXU-natural [M, K].
-    lo = bounds_ref[0, 0:1, :].reshape(ROW_BLOCK, 1)
-    hi = bounds_ref[0, 1:2, :].reshape(ROW_BLOCK, 1)
+    rb = bounds_ref.shape[2]
+    lo = bounds_ref[0, 0:1, :].reshape(rb, 1)
+    hi = bounds_ref[0, 1:2, :].reshape(rb, 1)
     eidx = jax.lax.broadcasted_iota(jnp.int32, (1, edge_chunk), 1)
     gidx = base + eidx  # [1, EC]
     msgs = msg_ref[:]
@@ -234,9 +245,10 @@ def _scatter_impl(
     weights2d=None,
 ):
     e, f = messages.shape
+    rb = bounds.shape[2]
     num_work = wb.shape[0]
     in_specs = [
-        pl.BlockSpec((1, 2, ROW_BLOCK), lambda w, b, c, fl: (b[w], 0, 0),
+        pl.BlockSpec((1, 2, rb), lambda w, b, c, fl: (b[w], 0, 0),
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((edge_chunk, f), lambda w, b, c, fl: (c[w], 0),
                      memory_space=pltpu.VMEM),
@@ -252,9 +264,9 @@ def _scatter_impl(
         num_scalar_prefetch=3,
         grid=(num_work,),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((ROW_BLOCK, f), lambda w, b, c, fl: (b[w], 0),
+        out_specs=pl.BlockSpec((rb, f), lambda w, b, c, fl: (b[w], 0),
                                memory_space=pltpu.VMEM),
-        scratch_shapes=[pltpu.VMEM((ROW_BLOCK, f), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((rb, f), jnp.float32)],
     )
     kernel = functools.partial(
         _scatter_kernel, precision=precision, edge_chunk=edge_chunk,
@@ -263,11 +275,11 @@ def _scatter_impl(
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((num_blocks * ROW_BLOCK, f),
+        out_shape=jax.ShapeDtypeStruct((num_blocks * rb, f),
                                        messages.dtype),
         cost_estimate=pl.CostEstimate(
-            flops=2 * num_work * edge_chunk * ROW_BLOCK * f,
-            bytes_accessed=(num_work * edge_chunk + num_blocks * ROW_BLOCK)
+            flops=2 * num_work * edge_chunk * rb * f,
+            bytes_accessed=(num_work * edge_chunk + num_blocks * rb)
             * f * messages.dtype.itemsize,
             transcendentals=0,
         ),
@@ -333,11 +345,12 @@ def _expand_impl(
     rows, bounds, wb, wc, wcf, e_pad, precision, edge_chunk, weights2d=None
 ):
     n_pad, f = rows.shape
+    rb = bounds.shape[2]
     num_work = wb.shape[0]
     in_specs = [
-        pl.BlockSpec((1, 2, ROW_BLOCK), lambda w, b, c, fl: (b[w], 0, 0),
+        pl.BlockSpec((1, 2, rb), lambda w, b, c, fl: (b[w], 0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((ROW_BLOCK, f), lambda w, b, c, fl: (b[w], 0),
+        pl.BlockSpec((rb, f), lambda w, b, c, fl: (b[w], 0),
                      memory_space=pltpu.VMEM),
     ]
     args = [bounds, rows]
@@ -364,8 +377,8 @@ def _expand_impl(
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((e_pad, f), rows.dtype),
         cost_estimate=pl.CostEstimate(
-            flops=2 * num_work * edge_chunk * ROW_BLOCK * f,
-            bytes_accessed=(num_work * (edge_chunk + ROW_BLOCK)) * f
+            flops=2 * num_work * edge_chunk * rb * f,
+            bytes_accessed=(num_work * (edge_chunk + rb)) * f
             * rows.dtype.itemsize,
             transcendentals=0,
         ),
@@ -380,7 +393,7 @@ def _expand_impl(
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
 def _scatter_core(messages, aux, num_nodes, precision, edge_chunk):
     receivers, bounds, wb, wc, wf, wcf, weights2d = aux
-    num_blocks = -(-num_nodes // ROW_BLOCK)
+    num_blocks = bounds.shape[0]
     e = messages.shape[0]
     e_pad = ((e + edge_chunk - 1) // edge_chunk) * edge_chunk
     messages = jnp.pad(messages, ((0, e_pad - e), (0, 0)))
@@ -401,8 +414,7 @@ def _scatter_fwd(messages, aux, num_nodes, precision, edge_chunk):
 def _scatter_bwd(num_nodes, precision, edge_chunk, res, g):
     aux, e = res
     receivers, bounds, wb, wc, wf, wcf, weights2d = aux
-    num_blocks = -(-num_nodes // ROW_BLOCK)
-    n_pad = num_blocks * ROW_BLOCK
+    n_pad = bounds.shape[0] * bounds.shape[2]
     g_pad = jnp.pad(g, ((0, n_pad - g.shape[0]), (0, 0)))
     e_pad = ((e + edge_chunk - 1) // edge_chunk) * edge_chunk
     dmsg = _expand_impl(
@@ -417,7 +429,7 @@ _scatter_core.defvjp(_scatter_fwd, _scatter_bwd)
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
 def _expand_core(rows, aux, num_edges, precision, edge_chunk):
     receivers, bounds, wb, wc, wf, wcf, weights2d = aux
-    n_pad = bounds.shape[0] * ROW_BLOCK
+    n_pad = bounds.shape[0] * bounds.shape[2]
     rows = jnp.pad(rows, ((0, n_pad - rows.shape[0]), (0, 0)))
     e_pad = ((num_edges + edge_chunk - 1) // edge_chunk) * edge_chunk
     out = _expand_impl(

@@ -51,6 +51,11 @@ class GraphContext(NamedTuple):
     # ogbn-arxiv's edges never touch the gather/scatter path.
     self_weight: jax.Array | None = None  # [N] f32 or None
     num_diag: int = 0  # densified self-loop count (for edge accounting)
+    # Expand-optimal tables (row_block=128): the expand kernel streams node
+    # blocks many times per chunk, so smaller row blocks win; the scatter
+    # kernel prefers 256 (fewer boundary-chunk re-reads). Falls back to
+    # fwd_tables when absent.
+    expand_tables: spmm_pallas.RowTables | None = None
 
     @property
     def num_edges(self) -> int:
@@ -101,7 +106,9 @@ class GraphContext(NamedTuple):
         expand kernel — sequential streaming both directions, and its
         backward is the sorted scatter (same tables)."""
         return spmm_pallas.expand_sorted(
-            h, self.receivers, tables=self.fwd_tables
+            h,
+            self.receivers,
+            tables=self.expand_tables or self.fwd_tables,
         )
 
     def scatter_weighted(self, messages: jax.Array) -> jax.Array:
@@ -198,9 +205,11 @@ def prepare_graph(
     add_self_loops: bool = False,
     gcn_normalize: bool = False,
     edge_weight: np.ndarray | None = None,
-    edge_chunk: int = spmm_pallas.DEFAULT_EDGE_CHUNK,
+    edge_chunk: int = 1024,
     symmetric: bool = False,
     densify_self_loops: bool = False,
+    scatter_row_block: int = 256,
+    expand_row_block: int = 128,
 ) -> GraphContext:
     """One-time host preprocessing into a :class:`GraphContext`.
 
@@ -305,14 +314,18 @@ def prepare_graph(
     )
 
     fwd_tables = spmm_pallas.build_row_tables(
-        r_p, num_nodes, edge_chunk=edge_chunk
+        r_p, num_nodes, edge_chunk=edge_chunk, row_block=scatter_row_block
+    )
+    expand_tables = spmm_pallas.build_row_tables(
+        r_p, num_nodes, edge_chunk=edge_chunk, row_block=expand_row_block
     )
 
     # Transposed orientation: sort (receiver-sorted, padded) edges by sender.
     perm_s, _ = native.coo_to_csr_perm(s_p, num_nodes)
     senders_sorted = s_p[perm_s]
     bwd_tables = spmm_pallas.build_row_tables(
-        senders_sorted, num_nodes, edge_chunk=edge_chunk
+        senders_sorted, num_nodes, edge_chunk=edge_chunk,
+        row_block=scatter_row_block,
     )
 
     deg = np.bincount(r_sorted, minlength=num_nodes).astype(np.float32)
@@ -331,4 +344,5 @@ def prepare_graph(
         is_symmetric=symmetric,
         self_weight=None if self_weight is None else jnp.asarray(self_weight),
         num_diag=num_diag,
+        expand_tables=expand_tables,
     )
