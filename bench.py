@@ -60,7 +60,10 @@ def build_workload():
         gcn_normalize=True,
         symmetric=True,
         densify_self_loops=True,  # diag applied densely; N fewer streamed edges
+        pad_nodes=True,  # node axis at kernel grain: no slice-copy per scatter
     )
+    n_pad = ctx.num_nodes
+    x = np.pad(x, ((0, n_pad - ARXIV_NODES), (0, 0)))
 
     encoder = GNNEncoder(
         conv="gcn",
@@ -78,7 +81,11 @@ def build_workload():
             self_weight=ctx.self_weight.astype(compute_dtype),
         )
     x = jnp.asarray(x, compute_dtype)
-    y = jnp.asarray(y)
+    # One-hot labels with zero rows for node padding: the masked-mean CE
+    # needs no gather and no runtime mask.
+    onehot = np.zeros((n_pad, ARXIV_CLASSES), np.float32)
+    onehot[np.arange(ARXIV_NODES), y] = 1.0
+    onehot = jnp.asarray(onehot)
 
     def loss_fn(params):
         from keras_geometric_tpu.nn.module import get_activation
@@ -95,8 +102,8 @@ def build_workload():
         logp = jax.nn.log_softmax(h.astype(jnp.float32))
         # One-hot contraction, not take_along_axis: XLA's per-row gather
         # costs ~1.8 ms at this scale; the compare+reduce fuses for free.
-        onehot = jax.nn.one_hot(y, ARXIV_CLASSES, dtype=logp.dtype)
-        return -jnp.mean(jnp.sum(logp * onehot, axis=-1))
+        # Zero rows of the precomputed one-hot mask out node padding.
+        return -jnp.sum(logp * onehot) / ARXIV_NODES
 
     grad_fn = jax.jit(jax.value_and_grad(loss_fn))
     return grad_fn, params, ctx.num_edges

@@ -51,6 +51,11 @@ class GraphContext(NamedTuple):
     # ogbn-arxiv's edges never touch the gather/scatter path.
     self_weight: jax.Array | None = None  # [N] f32 or None
     num_diag: int = 0  # densified self-loop count (for edge accounting)
+    # pad_nodes=True: num_nodes is rounded up to the scatter row-block
+    # grain so the kernel's [n_pad, F] output needs no trailing slice-copy
+    # (a full [N, F] HBM pass per scatter otherwise). num_real_nodes keeps
+    # the true count for reporting/loss masking.
+    num_real_nodes: int = -1
     # Expand-optimal tables (row_block=128): the expand kernel streams node
     # blocks many times per chunk, so smaller row blocks win; the scatter
     # kernel prefers 256 (fewer boundary-chunk re-reads). Falls back to
@@ -210,6 +215,7 @@ def prepare_graph(
     densify_self_loops: bool = False,
     scatter_row_block: int = 256,
     expand_row_block: int = 128,
+    pad_nodes: bool = False,
 ) -> GraphContext:
     """One-time host preprocessing into a :class:`GraphContext`.
 
@@ -225,12 +231,21 @@ def prepare_graph(
     fewer edges per pass (12.7% of ogbn-arxiv). Only valid for linear
     per-edge message functions (GCN-style) — do NOT use for attention
     layers, which need every edge in the stream.
+
+    ``pad_nodes=True`` rounds ``num_nodes`` up to the scatter row-block
+    grain: node arrays must then be supplied (and are returned) with
+    ``n_pad`` rows, and the kernels skip the trailing slice-copy of every
+    scatter output. Padded rows have no edges and zero self-weight.
     """
     edge_index = np.asarray(edge_index)
     if edge_index.shape[0] != 2:
         edge_index = edge_index.T
     s = edge_index[0].astype(np.int64)
     r = edge_index[1].astype(np.int64)
+    num_real_nodes = num_nodes
+    if pad_nodes:
+        grain = max(scatter_row_block, expand_row_block)
+        num_nodes = -(-num_nodes // grain) * grain
     if symmetric:
         # Symmetry of the *weighted* adjacency lets spmm() reuse itself as
         # its own VJP. Verify the edge multiset is symmetric (GCN
@@ -256,27 +271,32 @@ def prepare_graph(
                 "densify_self_loops=True requires add_self_loops=True "
                 "(it densifies the loops that would have been appended)"
             )
-        num_diag = num_nodes
+        num_diag = num_real_nodes
         if gcn_normalize:
             # Reference-exact weights (same native routine) computed over
             # the FULL edge list including the appended loops, then split:
             # real-edge weights stay in the stream, loop weights become the
-            # dense diagonal.
-            loops = np.arange(num_nodes, dtype=np.int64)
+            # dense diagonal. Loops are added for REAL nodes only; padded
+            # rows keep self_weight 0 so they stay exactly zero.
+            loops = np.arange(num_real_nodes, dtype=np.int64)
             s_full = np.concatenate([s, loops]).astype(np.int32)
             r_full = np.concatenate([r, loops]).astype(np.int32)
             w_full = native.gcn_norm_weights(s_full, r_full, num_nodes)
             densified_norm = np.asarray(w_full[: s.shape[0]], np.float32)
             self_weight = np.asarray(w_full[s.shape[0]:], np.float32)
         else:
-            self_weight = np.ones(num_nodes, np.float32)
+            self_weight = np.ones(num_real_nodes, np.float32)
+        if num_nodes > num_real_nodes:
+            self_weight = np.concatenate(
+                [self_weight, np.zeros(num_nodes - num_real_nodes, np.float32)]
+            )
     elif add_self_loops:
-        loops = np.arange(num_nodes, dtype=np.int64)
+        loops = np.arange(num_real_nodes, dtype=np.int64)
         s = np.concatenate([s, loops])
         r = np.concatenate([r, loops])
         if edge_weight is not None:
             edge_weight = np.concatenate(
-                [np.asarray(edge_weight), np.ones(num_nodes, np.float32)]
+                [np.asarray(edge_weight), np.ones(num_real_nodes, np.float32)]
             )
 
     perm_r, _ = native.coo_to_csr_perm(r.astype(np.int32), num_nodes)
@@ -345,4 +365,5 @@ def prepare_graph(
         self_weight=None if self_weight is None else jnp.asarray(self_weight),
         num_diag=num_diag,
         expand_tables=expand_tables,
+        num_real_nodes=num_real_nodes,
     )

@@ -202,3 +202,61 @@ class TestDensifiedSelfLoops:
         n, ei, _ = self._sym_case()
         with pytest.raises(ValueError, match="add_self_loops"):
             prepare_graph(ei, n, densify_self_loops=True)
+
+
+class TestPaddedNodes:
+    def test_padded_spmm_matches(self):
+        rng = np.random.default_rng(21)
+        n, half, f = 300, 1200, 32
+        a = rng.integers(0, n, half).astype(np.int32)
+        b = rng.integers(0, n, half).astype(np.int32)
+        ei = np.stack(
+            [np.concatenate([a, b]), np.concatenate([b, a])]
+        ).astype(np.int32)
+        x = rng.standard_normal((n, f)).astype(np.float32)
+        plain = prepare_graph(
+            ei, n, add_self_loops=True, gcn_normalize=True,
+            symmetric=True, densify_self_loops=True,
+        )
+        padded = prepare_graph(
+            ei, n, add_self_loops=True, gcn_normalize=True,
+            symmetric=True, densify_self_loops=True, pad_nodes=True,
+        )
+        assert padded.num_real_nodes == n
+        assert padded.num_nodes % 256 == 0 and padded.num_nodes >= n
+        xp = np.pad(x, ((0, padded.num_nodes - n), (0, 0)))
+        with pltpu.force_tpu_interpret_mode():
+            out_plain = plain.spmm(jnp.asarray(x))
+            out_pad = padded.spmm(jnp.asarray(xp))
+        assert out_pad.shape[0] == padded.num_nodes
+        np.testing.assert_allclose(
+            out_pad[:n], out_plain, rtol=1e-5, atol=1e-5
+        )
+        # padded rows stay exactly zero (no edges, zero self-weight)
+        np.testing.assert_array_equal(np.asarray(out_pad[n:]), 0.0)
+
+    def test_padded_grad_matches(self):
+        rng = np.random.default_rng(22)
+        n, half, f = 200, 800, 16
+        a = rng.integers(0, n, half).astype(np.int32)
+        b = rng.integers(0, n, half).astype(np.int32)
+        ei = np.stack(
+            [np.concatenate([a, b]), np.concatenate([b, a])]
+        ).astype(np.int32)
+        x = rng.standard_normal((n, f)).astype(np.float32)
+        plain = prepare_graph(
+            ei, n, add_self_loops=True, gcn_normalize=True, symmetric=True,
+        )
+        padded = prepare_graph(
+            ei, n, add_self_loops=True, gcn_normalize=True, symmetric=True,
+            pad_nodes=True,
+        )
+        xp = jnp.asarray(np.pad(x, ((0, padded.num_nodes - n), (0, 0))))
+        with pltpu.force_tpu_interpret_mode():
+            g_plain = jax.grad(
+                lambda h: jnp.sum(jnp.tanh(plain.spmm(h)))
+            )(jnp.asarray(x))
+            g_pad = jax.grad(
+                lambda h: jnp.sum(jnp.tanh(padded.spmm(h)[:n]))
+            )(xp)
+        np.testing.assert_allclose(g_pad[:n], g_plain, rtol=1e-5, atol=1e-5)
