@@ -1,6 +1,7 @@
 """Core sparse/graph compute ops: segment reductions, graph structure, SpMM."""
 
 from . import graph_ops, segment, spmm
+from .precompute import precompute_propagation
 from .graph_ops import (
     CSRGraph,
     add_self_loops,
@@ -26,6 +27,7 @@ __all__ = [
     "graph_ops",
     "segment",
     "spmm",
+    "precompute_propagation",
     "CSRGraph",
     "add_self_loops",
     "coo_to_csr",

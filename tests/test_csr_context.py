@@ -260,3 +260,54 @@ class TestPaddedNodes:
                 lambda h: jnp.sum(jnp.tanh(padded.spmm(h)[:n]))
             )(xp)
         np.testing.assert_allclose(g_pad[:n], g_plain, rtol=1e-5, atol=1e-5)
+
+
+class TestPrecompute:
+    def test_cached_first_layer_exact(self):
+        """(S X) W == S (X W): precompute matches the live first layer."""
+        from keras_geometric_tpu.ops.precompute import precompute_propagation
+
+        rng = np.random.default_rng(31)
+        n, half, fin, fout = 220, 900, 24, 16
+        a = rng.integers(0, n, half).astype(np.int32)
+        b = rng.integers(0, n, half).astype(np.int32)
+        ei = np.stack(
+            [np.concatenate([a, b]), np.concatenate([b, a])]
+        ).astype(np.int32)
+        x = jnp.asarray(rng.standard_normal((n, fin)).astype(np.float32))
+        W = jnp.asarray(rng.standard_normal((fin, fout)).astype(np.float32))
+        ctx = prepare_graph(
+            ei, n, add_self_loops=True, gcn_normalize=True,
+            symmetric=True, densify_self_loops=True,
+        )
+        with pltpu.force_tpu_interpret_mode():
+            sx = precompute_propagation(ctx, x)
+            live = ctx.spmm(x @ W)
+        np.testing.assert_allclose(sx @ W, live, rtol=1e-4, atol=1e-4)
+
+    def test_multi_hop(self):
+        from keras_geometric_tpu.ops.precompute import precompute_propagation
+
+        rng = np.random.default_rng(32)
+        n, half, f = 100, 300, 8
+        a = rng.integers(0, n, half).astype(np.int32)
+        b = rng.integers(0, n, half).astype(np.int32)
+        ei = np.stack(
+            [np.concatenate([a, b]), np.concatenate([b, a])]
+        ).astype(np.int32)
+        x = jnp.asarray(rng.standard_normal((n, f)).astype(np.float32))
+        ctx = prepare_graph(
+            ei, n, add_self_loops=True, gcn_normalize=True, symmetric=True,
+        )
+        with pltpu.force_tpu_interpret_mode():
+            s2x = precompute_propagation(ctx, x, hops=2)
+            ref = ctx.spmm(ctx.spmm(x))
+        np.testing.assert_allclose(s2x, ref, rtol=1e-4, atol=1e-4)
+
+    def test_hops_validation(self):
+        from keras_geometric_tpu.ops.precompute import precompute_propagation
+
+        ei = np.array([[0, 1], [1, 0]], np.int32)
+        ctx = prepare_graph(ei, 2)
+        with pytest.raises(ValueError, match="hops"):
+            precompute_propagation(ctx, jnp.zeros((2, 4)), hops=0)
