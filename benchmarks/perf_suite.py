@@ -53,11 +53,18 @@ def main():
         sizes.append(("arxiv", 169_343, 1_335_586, 128, 256))
 
     for tag, n, e, f_in, f_out in sizes:
-        x = jnp.asarray(rng.standard_normal((n, f_in)).astype(np.float32))
+        # bf16 IO / f32 loss & accumulation — the framework's TPU precision
+        # policy (same as bench.py).
+        x = jnp.asarray(
+            rng.standard_normal((n, f_in)).astype(np.float32), jnp.bfloat16
+        )
         ei = np.stack(
             [rng.integers(0, n, e), rng.integers(0, n, e)]
         ).astype(np.int32)
         ctx_gcn = prepare_graph(ei, n, add_self_loops=True, gcn_normalize=True)
+        ctx_gcn = ctx_gcn._replace(
+            edge_weight=ctx_gcn.edge_weight.astype(jnp.bfloat16)
+        )
         ctx = prepare_graph(ei, n, add_self_loops=True)
 
         layers = {
@@ -78,7 +85,12 @@ def main():
             params = layer.init(jax.random.PRNGKey(0), f_in)
 
             def loss(p, layer=layer, lctx=lctx):
-                out = layer.apply(p, x, context=lctx)
+                # f32 master params cast per step; f32 loss accumulation.
+                pc = jax.tree_util.tree_map(
+                    lambda a: a.astype(x.dtype), p
+                )
+                out = layer.apply(pc, x, context=lctx)
+                out = out.astype(jnp.float32)
                 return jnp.sum(out * out) / n
 
             res = bench_layer(f"{tag}_{lname}", loss, params, lctx.num_edges)
