@@ -94,9 +94,11 @@ class GCNConv(Module):
                     "into prepare_graph()."
                 )
             drop_active = training and self.dropout_rate > 0
-            if context.is_symmetric and edge_weight is None and not drop_active:
-                # Symmetric adjacency: the SpMM is its own VJP (no expand /
-                # permutation machinery in the backward).
+            if edge_weight is None and not drop_active:
+                # Fused spmm VJP: symmetric adjacency reuses itself as its
+                # own backward; the general (directed) path gathers the
+                # node cotangent in sender-sorted order — either way no
+                # [E, F] edge permutation appears in the backward.
                 out = context.spmm(h)
             else:
                 drop_rng = self_rng = rng

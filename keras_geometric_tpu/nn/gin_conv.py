@@ -92,13 +92,20 @@ class GINConv(Module):
         eps = self._eps(params)
 
         if context is not None:
-            # Kernelized path: sum/mean run the Pallas sorted SpMM.
-            messages = context.gather(x)
-            if self.aggregator == "sum":
-                agg = context.scatter(messages, masked=True)
+            # Kernelized path: sum/mean run the Pallas sorted SpMM. With
+            # unit edge weights the fused spmm VJP applies (backward is a
+            # node-cotangent gather + sorted scatter — no [E, F] edge
+            # permutation).
+            if context.has_unit_weights and self.aggregator == "sum":
+                agg = context.spmm(x)
+            elif context.has_unit_weights and self.aggregator == "mean":
+                agg = context.spmm_mean(x)
+            elif self.aggregator == "sum":
+                agg = context.scatter(context.gather(x), masked=True)
             elif self.aggregator == "mean":
-                agg = context.scatter_mean(messages)
+                agg = context.scatter_mean(context.gather(x))
             else:  # max: XLA sorted segment path
+                messages = context.gather(x)
                 from ..ops.segment import segment_max
 
                 agg = segment_max(

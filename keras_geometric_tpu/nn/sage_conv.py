@@ -119,9 +119,30 @@ class SAGEConv(Module):
         if context is not None:
             # Kernelized path: gathers carry sorted-scatter VJPs; sum/mean
             # aggregate via the Pallas SpMM, the rest via sorted XLA.
-            messages = context.gather(x)
-            messages = dropout(msg_rng, messages, self.dropout_rate, training)
-            if self.aggregator == "pooling":
+            # Without message dropout and with unit weights, sum/mean use
+            # the fused spmm VJP (no [E, F] edge permutation in backward);
+            # dropout on messages breaks linearity, so it keeps the
+            # edge-level path.
+            drop_active = training and self.dropout_rate > 0
+            if (
+                context.has_unit_weights
+                and not drop_active
+                and self.aggregator in ("sum", "mean")
+            ):
+                agg = (
+                    context.spmm(x)
+                    if self.aggregator == "sum"
+                    else context.spmm_mean(x)
+                )
+                messages = None
+            else:
+                messages = context.gather(x)
+                messages = dropout(
+                    msg_rng, messages, self.dropout_rate, training
+                )
+            if messages is None:
+                pass
+            elif self.aggregator == "pooling":
                 messages = self._pool_mlp(input_dim).apply(
                     params["pool_mlp"], messages
                 )
@@ -133,7 +154,7 @@ class SAGEConv(Module):
                 agg = context.scatter(messages, masked=True)
             elif self.aggregator == "mean":
                 agg = context.scatter_mean(messages)
-            else:
+            elif messages is not None:
                 agg = aggregate(
                     self.aggregator, messages, context.receivers, num_nodes,
                     mask=context.edge_mask, indices_are_sorted=True,

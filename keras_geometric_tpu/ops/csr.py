@@ -61,6 +61,18 @@ class GraphContext(NamedTuple):
     # kernel prefers 256 (fewer boundary-chunk re-reads). Falls back to
     # fwd_tables when absent.
     expand_tables: spmm_pallas.RowTables | None = None
+    # Sender-sorted companions for the fused general-spmm VJP: receivers
+    # and weights reordered by the sender sort. The backward of a LINEAR
+    # spmm is A^T @ g with g a NODE array — gather g by
+    # receivers-in-sender-order (a cheap [N, F]-source take) instead of
+    # permuting an [E, F] edge array (XLA's bf16 edge permutation costs
+    # ~18 ms at ogbn-arxiv scale).
+    receivers_ss: jax.Array | None = None  # [E] int32
+    edge_weight_ss: jax.Array | None = None  # [E]
+    # True when edge_weight is the all-ones vector (zero on pads): layers
+    # whose reference semantics ignore edge weights (GIN/SAGE) may then
+    # route sum/mean aggregation through spmm()/spmm_mean().
+    has_unit_weights: bool = False
 
     @property
     def num_edges(self) -> int:
@@ -171,10 +183,30 @@ class GraphContext(NamedTuple):
                 self.fwd_tables,
                 self.num_nodes,
             )
+        if self.receivers_ss is not None and self.edge_weight is not None:
+            return _spmm_general(
+                h,
+                (self.senders, self.receivers, self.edge_weight,
+                 self.receivers_ss, self.senders_sorted,
+                 self.edge_weight_ss, self.self_weight),
+                self.fwd_tables,
+                self.bwd_tables,
+                self.num_nodes,
+            )
         out = self.scatter_weighted(self.gather(h))
         if self.self_weight is not None:
             out = out + h * self.self_weight[:, None].astype(h.dtype)
         return out
+
+    def spmm_mean(self, h: jax.Array) -> jax.Array:
+        """Mean-aggregated spmm: ``(A @ h) / max(in_degree, 1e-8)``.
+
+        Valid for unit edge weights (``has_unit_weights``); the division
+        composes with the fused spmm VJP, so the backward is also
+        permutation-free.
+        """
+        deg = jnp.maximum(self.in_degree, 1e-8).astype(h.dtype)
+        return self.spmm(h) / deg[:, None]
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
@@ -241,6 +273,45 @@ def _edge_softmax_bwd(fwd_tables, exp_tables, num_nodes, eps, res, dalpha):
 
 
 _edge_softmax.defvjp(_edge_softmax_fwd, _edge_softmax_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def _spmm_general(h, arrays, fwd_tables, bwd_tables, num_nodes):
+    """Weighted spmm over a (possibly) asymmetric adjacency with a
+    permutation-free backward.
+
+    Forward: gather senders (receiver-sorted order) + weighted Pallas
+    scatter. Backward: ``dh = A^T g`` built DIRECTLY in sender-sorted
+    order — gather the node cotangent by receivers-in-sender-order and
+    run the sorted scatter over the transposed orientation. Valid
+    whenever the per-edge message is linear in h (the weights commute),
+    which is exactly when callers use spmm()."""
+    senders, receivers, w, _r_ss, _s_ss, _w_ss, self_weight = arrays
+    messages = jnp.take(h, senders, axis=0)
+    out = spmm_pallas.scatter_sum_sorted(
+        messages, receivers, num_nodes, tables=fwd_tables, weights=w
+    )
+    if self_weight is not None:
+        out = out + h * self_weight[:, None].astype(h.dtype)
+    return out
+
+
+def _spmm_general_fwd(h, arrays, fwd_tables, bwd_tables, num_nodes):
+    return _spmm_general(h, arrays, fwd_tables, bwd_tables, num_nodes), arrays
+
+
+def _spmm_general_bwd(fwd_tables, bwd_tables, num_nodes, arrays, g):
+    _senders, _receivers, _w, r_ss, s_ss, w_ss, self_weight = arrays
+    msgs = jnp.take(g, r_ss, axis=0)
+    dh = spmm_pallas.scatter_sum_sorted(
+        msgs, s_ss, num_nodes, tables=bwd_tables, weights=w_ss
+    )
+    if self_weight is not None:
+        dh = dh + g * self_weight[:, None].astype(g.dtype)
+    return dh, None
+
+
+_spmm_general.defvjp(_spmm_general_fwd, _spmm_general_bwd)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
@@ -411,6 +482,8 @@ def prepare_graph(
     # Transposed orientation: sort (receiver-sorted, padded) edges by sender.
     perm_s, _ = native.coo_to_csr_perm(s_p, num_nodes)
     senders_sorted = s_p[perm_s]
+    receivers_ss = r_p[perm_s]
+    weight_ss = w_p[perm_s]
     bwd_tables = spmm_pallas.build_row_tables(
         senders_sorted, num_nodes, edge_chunk=edge_chunk,
         row_block=scatter_row_block,
@@ -434,4 +507,7 @@ def prepare_graph(
         num_diag=num_diag,
         expand_tables=expand_tables,
         num_real_nodes=num_real_nodes,
+        receivers_ss=jnp.asarray(receivers_ss),
+        edge_weight_ss=jnp.asarray(weight_ss),
+        has_unit_weights=(not gcn_normalize) and edge_weight is None,
     )

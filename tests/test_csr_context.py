@@ -367,3 +367,72 @@ class TestEdgeSoftmax:
         np.testing.assert_allclose(
             np.asarray(sums)[deg > 0], 1.0, rtol=1e-4
         )
+
+
+class TestGeneralSpmmVJP:
+    """Permutation-free backward of the directed (asymmetric) spmm."""
+
+    def test_directed_grad_matches_xla(self):
+        rng = np.random.default_rng(41)
+        n, e, f = 170, 1100, 24
+        ei = np.stack(
+            [rng.integers(0, n, e), rng.integers(0, n, e)]
+        ).astype(np.int32)
+        h = jnp.asarray(rng.standard_normal((n, f)).astype(np.float32))
+        ctx = prepare_graph(ei, n, add_self_loops=True, gcn_normalize=True)
+        assert ctx.receivers_ss is not None
+
+        def loss_ctx(h):
+            return jnp.sum(jnp.tanh(ctx.spmm(h)))
+
+        def loss_ref(h):
+            msgs = jnp.take(h, ctx.senders, axis=0) * ctx.edge_weight[:, None]
+            return jnp.sum(jnp.tanh(jax.ops.segment_sum(
+                msgs, ctx.receivers, ctx.num_nodes)))
+
+        with pltpu.force_tpu_interpret_mode():
+            g1 = jax.grad(loss_ctx)(h)
+        g2 = jax.grad(loss_ref)(h)
+        np.testing.assert_allclose(g1, g2, rtol=1e-4, atol=1e-4)
+
+    def test_gin_sage_fused_grads_match_edge_path(self):
+        """spmm/spmm_mean routes == gather+scatter routes, values and grads."""
+        from keras_geometric_tpu.nn import GINConv, SAGEConv
+
+        rng = np.random.default_rng(42)
+        n, e, f = 140, 900, 16
+        ei = np.stack(
+            [rng.integers(0, n, e), rng.integers(0, n, e)]
+        ).astype(np.int32)
+        x = jnp.asarray(rng.standard_normal((n, f)).astype(np.float32))
+        ctx = prepare_graph(ei, n, add_self_loops=True)
+        assert ctx.has_unit_weights
+
+        for layer in (
+            GINConv(output_dim=12, aggregator="sum"),
+            GINConv(output_dim=12, aggregator="mean"),
+            SAGEConv(output_dim=12, aggregator="mean"),
+        ):
+            params = layer.init(jax.random.PRNGKey(0), f)
+
+            def loss(p):
+                return jnp.sum(layer.apply(p, x, context=ctx) ** 2)
+
+            def loss_plain(p):
+                return jnp.sum(layer.apply(p, x, jnp.asarray(ei_sl)) ** 2)
+
+            ei_sl = np.concatenate(
+                [ei, np.stack([np.arange(n), np.arange(n)])], axis=1
+            ).astype(np.int32)
+            with pltpu.force_tpu_interpret_mode():
+                v_ctx = loss(params)
+                g_ctx = jax.grad(loss)(params)
+            v_ref = loss_plain(params)
+            g_ref = jax.grad(loss_plain)(params)
+            np.testing.assert_allclose(v_ctx, v_ref, rtol=1e-4, atol=1e-4)
+            for a, b in zip(
+                jax.tree_util.tree_leaves(g_ctx),
+                jax.tree_util.tree_leaves(g_ref),
+            ):
+                # split2 kernel accumulation order vs XLA: ~1e-6 relative.
+                np.testing.assert_allclose(a, b, rtol=1e-3, atol=1e-3)
