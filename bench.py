@@ -80,20 +80,27 @@ def build_workload():
             edge_weight=ctx.edge_weight.astype(compute_dtype),
             self_weight=ctx.self_weight.astype(compute_dtype),
         )
-    x = jnp.asarray(x, compute_dtype)
+    # Keep x on device in f32 and cast INSIDE the jitted step: XLA's random
+    # gather degrades ~3.5x when its source is a jit parameter; the cast
+    # output is an intermediate, which gathers at full speed (and the
+    # propagate-first layer-1 ordering gathers x directly).
+    x = jnp.asarray(x)
     # One-hot labels with zero rows for node padding: the masked-mean CE
     # needs no gather and no runtime mask.
     onehot = np.zeros((n_pad, ARXIV_CLASSES), np.float32)
     onehot[np.arange(ARXIV_NODES), y] = 1.0
     onehot = jnp.asarray(onehot)
 
-    def loss_fn(params):
+    # x is a runtime ARGUMENT (not a closure constant): a captured constant
+    # lets XLA fold the bf16 cast away, and the random gather reading a jit
+    # parameter runs ~3.5x slower than one reading an intermediate.
+    def loss_fn(params, x):
         from keras_geometric_tpu.nn.module import get_activation
 
         # bf16 IO / fp32 master params: cast per step (free — fused into
         # the first matmul), gradients accumulate in fp32.
         p = jax.tree_util.tree_map(lambda a: a.astype(compute_dtype), params)
-        h = x
+        h = x.astype(compute_dtype)
         layers = encoder._layers()
         for i, layer in enumerate(layers):
             h = layer.apply(p[f"layer_{i}"], h, context=ctx)
@@ -106,19 +113,19 @@ def build_workload():
         return -jnp.sum(logp * onehot) / ARXIV_NODES
 
     grad_fn = jax.jit(jax.value_and_grad(loss_fn))
-    return grad_fn, params, ctx.num_edges
+    return grad_fn, params, x, ctx.num_edges
 
 
 def main():
     import jax
 
-    grad_fn, params, num_edges = build_workload()
+    grad_fn, params, x, num_edges = build_workload()
 
     # Warmup / compile; force a real device fetch (on relayed/tunneled TPU
     # backends block_until_ready can return before execution completes, so
     # all timing below uses device_get syncs and an iteration-count slope
     # to cancel the fetch round-trip).
-    loss, grads = grad_fn(params)
+    loss, grads = grad_fn(params, x)
     _ = jax.device_get(loss)
 
     def timed(k: int) -> float:
@@ -126,7 +133,7 @@ def main():
         for _ in range(3):
             t0 = time.perf_counter()
             for _ in range(k):
-                loss, _g = grad_fn(params)
+                loss, _g = grad_fn(params, x)
             _ = jax.device_get(loss)
             best = min(best, time.perf_counter() - t0)
         return best

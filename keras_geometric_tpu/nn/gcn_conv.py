@@ -81,7 +81,10 @@ class GCNConv(Module):
         if num_nodes == 0:
             return jnp.zeros((0, self.output_dim), dtype=x.dtype)
 
-        h = x @ params["kernel"]  # [N, F_out] single dense MXU matmul
+        if context is None or x.shape[1] >= self.output_dim:
+            h = x @ params["kernel"]  # [N, F_out] single dense MXU matmul
+        else:
+            h = None  # widening layer: propagate at F_in, then transform
 
         if context is not None:
             # Preprocessed GraphContext path (ops.csr.prepare_graph): both
@@ -99,8 +102,19 @@ class GCNConv(Module):
                 # own backward; the general (directed) path gathers the
                 # node cotangent in sender-sorted order — either way no
                 # [E, F] edge permutation appears in the backward.
-                out = context.spmm(h)
+                if h is None:
+                    # Widening layer (F_in < F_out): A(xW) = (Ax)W — the
+                    # linear message commutes with the transform, so run
+                    # the gather/scatter at the NARROW width. When x also
+                    # carries no gradient (input features), dW needs only
+                    # the saved [N, F_in] spmm(x) residual and the layer's
+                    # backward spmm disappears entirely.
+                    out = context.spmm(x) @ params["kernel"]
+                else:
+                    out = context.spmm(h)
             else:
+                if h is None:
+                    h = x @ params["kernel"]
                 drop_rng = self_rng = rng
                 if rng is not None and context.self_weight is not None:
                     drop_rng, self_rng = jax.random.split(rng)
