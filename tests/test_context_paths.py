@@ -38,6 +38,32 @@ class TestGCN:
         out_plain = layer_plain.apply(params, x, jnp.asarray(ei))
         np.testing.assert_allclose(out_ctx, out_plain, rtol=1e-4, atol=1e-4)
 
+    def test_widening_layer_propagate_first(self, case, rng):
+        # F_in < F_out takes the propagate-first branch (spmm at F_in,
+        # transform after): must match the plain transform-first path,
+        # values and gradients, since A(xW) = (Ax)W.
+        n, ei, x, f = case
+        ctx = prepare_graph(ei, n, add_self_loops=True, gcn_normalize=True)
+        layer = GCNConv(output_dim=2 * f, add_self_loops=False, normalize=False)
+        params = layer.init(rng, f)
+
+        def ctx_loss(p):
+            return jnp.sum(layer.apply(p, x, context=ctx) ** 2)
+
+        with pltpu.force_tpu_interpret_mode():
+            out_ctx = layer.apply(params, x, context=ctx)
+            g_ctx = jax.grad(ctx_loss)(params)
+        plain = GCNConv(output_dim=2 * f)
+        out_plain = plain.apply(params, x, jnp.asarray(ei))
+        np.testing.assert_allclose(out_ctx, out_plain, rtol=1e-4, atol=1e-4)
+        g_plain = jax.grad(
+            lambda p: jnp.sum(plain.apply(p, x, jnp.asarray(ei)) ** 2)
+        )(params)
+        for a, b in zip(
+            jax.tree_util.tree_leaves(g_ctx), jax.tree_util.tree_leaves(g_plain)
+        ):
+            np.testing.assert_allclose(a, b, rtol=1e-3, atol=1e-4)
+
     def test_context_gradients(self, case, rng):
         n, ei, x, f = case
         ctx = prepare_graph(ei, n, add_self_loops=True, gcn_normalize=True)
