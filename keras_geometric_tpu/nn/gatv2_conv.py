@@ -167,6 +167,34 @@ class GATv2Conv(Module):
         n = x.shape[0]
         h, f = self.heads, self.output_dim
         ht = x @ params["kernel"]  # [N, H*F]
+        if not return_attention:
+            # Fused attend op (ops/csr.py::GraphContext.attend): one
+            # custom-VJP covering score -> softmax -> weighted aggregate,
+            # whose backward never permutes an [E, H*F] edge array.
+            drop_mask = None
+            if training and self.dropout > 0:
+                if rng is None:
+                    raise ValueError(
+                        "dropout requires an rng key when training"
+                    )
+                keep = 1.0 - self.dropout
+                bern = jax.random.bernoulli(
+                    rng, keep, shape=(context.senders.shape[0], h)
+                )
+                drop_mask = jnp.where(bern, 1.0 / keep, 0.0).astype(ht.dtype)
+            agg = context.attend(
+                ht,
+                params["att"].reshape(h, f),
+                negative_slope=self.negative_slope,
+                eps=1e-10,
+                drop_mask=drop_mask,
+            ).reshape(n, h, f)
+            out = (
+                agg.reshape(n, h * f) if self.concat else jnp.mean(agg, axis=1)
+            )
+            if self.use_bias:
+                out = out + params["bias"]
+            return out
         h_j = context.gather(ht).reshape(-1, h, f)
         h_i = context.gather_receivers(ht).reshape(-1, h, f)
 

@@ -165,6 +165,54 @@ class GraphContext(NamedTuple):
             eps,
         )
 
+    def attend(
+        self,
+        ht: jax.Array,
+        att: jax.Array,
+        *,
+        negative_slope: float = 0.2,
+        eps: float = 1e-10,
+        drop_mask: jax.Array | None = None,
+    ) -> jax.Array:
+        """Fused GATv2 attention propagate with a permutation-free VJP.
+
+        Computes the reference pipeline (gatv2_conv.py:268-335) in one op:
+        ``score = Σ_f att·leaky_relu(h_i+h_j)`` per head, max-shifted
+        per-receiver softmax with ``+eps``, optional attention dropout
+        (``drop_mask`` = pre-scaled keep mask, [E, H]), then the
+        α-weighted aggregation — ``ht`` is ``[N, H·F]``, ``att`` is
+        ``[H, F]``, output ``[N, H·F]``.
+
+        The hand-written backward never permutes an ``[E, H·F]`` edge
+        array (XLA's random row permutation costs ~18 ms at ogbn-arxiv
+        scale). The sender-side cotangent is built DIRECTLY in
+        sender-sorted order: ``[E, H]`` score/α rows are permuted (cheap),
+        node arrays are gathered by ``receivers_ss`` / expanded along
+        ``senders_sorted``, and the pre-activation is recomputed in that
+        order instead of reordered.
+        """
+        h = int(att.shape[0])
+        return _gatv2_attend(
+            ht,
+            att,
+            (
+                self.senders,
+                self.receivers,
+                self.edge_mask,
+                self.bwd_perm,
+                self.senders_sorted,
+                self.receivers_ss,
+                drop_mask,
+            ),
+            self.fwd_tables,
+            self.expand_tables or self.fwd_tables,
+            self.bwd_tables,
+            self.num_nodes,
+            h,
+            float(negative_slope),
+            float(eps),
+        )
+
     def spmm(self, h: jax.Array) -> jax.Array:
         """Full ``A @ h``: gather senders, weighted-scatter to receivers
         (weights fused in-kernel).
@@ -273,6 +321,118 @@ def _edge_softmax_bwd(fwd_tables, exp_tables, num_nodes, eps, res, dalpha):
 
 
 _edge_softmax.defvjp(_edge_softmax_fwd, _edge_softmax_bwd)
+
+
+def _attend_fwd_compute(ht, att, arrays, fwd_tables, exp_tables, num_nodes,
+                        heads, negative_slope, eps):
+    senders, receivers, edge_mask, _perm, _ss, _rss, drop_mask = arrays
+    e = senders.shape[0]
+    f = att.shape[-1]
+    hj = jnp.take(ht, senders, axis=0)  # [E, H*F] random gather
+    hi = spmm_pallas.expand_sorted(ht, receivers, tables=exp_tables)
+    pre = (hi + hj).reshape(e, heads, f)
+    z = jnp.where(pre > 0, pre, negative_slope * pre)
+    scores = jnp.sum(z * att[None].astype(z.dtype), axis=-1)  # [E, H]
+    if edge_mask is not None:
+        scores = jnp.where(
+            edge_mask[:, None], scores, jnp.full_like(scores, -jnp.inf)
+        )
+    m, l = softmax_pallas.softmax_stats_sorted(
+        scores, num_nodes, tables=fwd_tables
+    )
+    alpha = softmax_pallas.softmax_apply_sorted(
+        scores, m, l, tables=exp_tables, eps=eps, out_dtype=scores.dtype
+    )
+    alpha_d = alpha if drop_mask is None else alpha * drop_mask
+    out = spmm_pallas.scatter_sum_sorted(
+        (alpha_d[:, :, None] * hj.reshape(e, heads, f)).reshape(e, heads * f),
+        receivers,
+        num_nodes,
+        tables=fwd_tables,
+    )
+    return out, (hj, pre, alpha)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8, 9))
+def _gatv2_attend(ht, att, arrays, fwd_tables, exp_tables, bwd_tables,
+                  num_nodes, heads, negative_slope, eps):
+    out, _ = _attend_fwd_compute(
+        ht, att, arrays, fwd_tables, exp_tables, num_nodes, heads,
+        negative_slope, eps,
+    )
+    return out
+
+
+def _gatv2_attend_fwd(ht, att, arrays, fwd_tables, exp_tables, bwd_tables,
+                      num_nodes, heads, negative_slope, eps):
+    out, (hj, pre, alpha) = _attend_fwd_compute(
+        ht, att, arrays, fwd_tables, exp_tables, num_nodes, heads,
+        negative_slope, eps,
+    )
+    return out, (ht, att, arrays, hj, pre, alpha)
+
+
+def _gatv2_attend_bwd(fwd_tables, exp_tables, bwd_tables, num_nodes, heads,
+                      negative_slope, eps, res, g):
+    ht, att, arrays, hj, pre, alpha = res
+    _senders, receivers, _mask, perm, senders_sorted, receivers_ss, \
+        drop_mask = arrays
+    e = hj.shape[0]
+    f = att.shape[-1]
+    attc = att[None].astype(g.dtype)
+    drop = drop_mask is not None
+    alpha_d = alpha * drop_mask if drop else alpha
+
+    # Aggregation branch: d_msg = g[receivers] (sorted expand, no permute).
+    ge = spmm_pallas.expand_sorted(g, receivers, tables=exp_tables)
+    geh = ge.reshape(e, heads, f)
+    dalpha = jnp.sum(geh * hj.reshape(e, heads, f), axis=-1)  # [E, H]
+    if drop:
+        dalpha = dalpha * drop_mask
+    # Exact softmax Jacobian: ds = α(dα - Σ_recv α dα). Padded slots have
+    # α = 0, so ds vanishes there and every term below is pad-neutral.
+    prodv = alpha * dalpha
+    rho = spmm_pallas.scatter_sum_sorted(
+        prodv, receivers, num_nodes, tables=fwd_tables
+    )
+    dscores = prodv - alpha * spmm_pallas.expand_sorted(
+        rho, receivers, tables=exp_tables
+    )
+    # Score branch, receiver side (h_i): cotangent in receiver order,
+    # scattered with the already-sorted receivers.
+    lmask = jnp.where(pre > 0, 1.0, negative_slope).astype(g.dtype)
+    dpre_r = dscores[:, :, None] * attc * lmask  # [E, H, F]
+    dht = spmm_pallas.scatter_sum_sorted(
+        dpre_r.reshape(e, heads * f), receivers, num_nodes, tables=fwd_tables
+    )
+    # datt = Σ_e dscores ⊗ z (recompute z from the saved pre-activation).
+    z = jnp.where(pre > 0, pre, negative_slope * pre).astype(g.dtype)
+    datt = jnp.einsum("eh,ehf->hf", dscores, z).astype(att.dtype)
+    # Sender side (h_j gets cotangent from BOTH branches): build it
+    # directly in sender-sorted order — [E, H] permutes are cheap, the
+    # [E, H*F] pieces come from node-array gathers and a sorted expand.
+    alpha_d_ss = jnp.take(alpha_d, perm, axis=0)
+    dscores_ss = jnp.take(dscores, perm, axis=0)
+    g_ss = jnp.take(g, receivers_ss, axis=0).reshape(e, heads, f)
+    pre_ss = (
+        jnp.take(ht, receivers_ss, axis=0)
+        + spmm_pallas.expand_sorted(ht, senders_sorted, tables=bwd_tables)
+    ).reshape(e, heads, f)
+    lmask_ss = jnp.where(pre_ss > 0, 1.0, negative_slope).astype(g.dtype)
+    d_hj_ss = (
+        alpha_d_ss[:, :, None] * g_ss
+        + dscores_ss[:, :, None] * attc * lmask_ss
+    )
+    dht = dht + spmm_pallas.scatter_sum_sorted(
+        d_hj_ss.reshape(e, heads * f),
+        senders_sorted,
+        num_nodes,
+        tables=bwd_tables,
+    )
+    return dht, datt, None
+
+
+_gatv2_attend.defvjp(_gatv2_attend_fwd, _gatv2_attend_bwd)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
