@@ -69,6 +69,14 @@ __all__ = [
 ROW_BLOCK = 128  # default; per-tables row_block overrides (see build_row_tables)
 DEFAULT_EDGE_CHUNK = 512
 
+# Scatter implementation selector. "block" runs one grid step per ROW
+# BLOCK with an inner dynamic loop over its edge chunks (manual
+# multi-buffered DMA) — ~3x fewer grid steps than the flat work-list
+# grid, whose fixed per-item cost (~2µs) dominates at production scale.
+# "work" is the original one-item-per-(block, chunk) grid.
+SCATTER_MODE = "block"
+SCATTER_NBUF = 4  # in-flight edge-chunk DMA buffers in block mode
+
 
 class RowTables:
     """Precomputed work-list tables for a sorted receiver array."""
@@ -243,8 +251,14 @@ def _scatter_kernel(
 
 def _scatter_impl(
     messages, bounds, wb, wc, wf, num_blocks, precision, edge_chunk,
-    weights2d=None,
+    weights2d=None, block_tables=None,
 ):
+    if SCATTER_MODE == "block" and block_tables is not None:
+        bc0, bnc = block_tables
+        return _scatter_block_impl(
+            messages, bounds, bc0, bnc, wb.shape[0], num_blocks, precision,
+            edge_chunk, weights2d,
+        )
     e, f = messages.shape
     rb = bounds.shape[2]
     num_work = wb.shape[0]
@@ -285,6 +299,163 @@ def _scatter_impl(
             transcendentals=0,
         ),
     )(wb, wc, wf, *args)
+
+
+# ---------------------------------------------------------------------------
+# Block-mode scatter: one grid step per ROW BLOCK, inner dynamic loop over
+# its edge chunks with manual multi-buffered HBM->VMEM DMA. Same math and
+# tables as the work-list grid, but the fixed per-grid-item cost (~2µs of
+# Mosaic grid/DMA bookkeeping, the measured floor at ogbn-arxiv scale) is
+# paid num_blocks times instead of num_work times (~3x fewer).
+# ---------------------------------------------------------------------------
+
+
+def _block_chunk_tables(tables: RowTables):
+    """Per row-block first-chunk index and chunk count (host, cached)."""
+    cached = getattr(tables, "_block_chunks", None)
+    if cached is not None:
+        return cached
+    bounds = tables.bounds
+    ec = tables.edge_chunk
+    start = bounds[:, 0, 0].astype(np.int64)  # first edge of block
+    end = bounds[:, 1, -1].astype(np.int64)  # one-past-last edge
+    c0 = start // ec
+    c1 = np.maximum(np.maximum(end - 1, start) // ec, c0)
+    nc = (c1 - c0 + 1).astype(np.int32)
+    out = (c0.astype(np.int32), nc)
+    tables._block_chunks = out
+    return out
+
+
+def _scatter_block_kernel(
+    c0_ref, nc_ref,  # SMEM scalars: per-block first chunk / chunk count
+    bounds_ref,  # [1, 2, RB] VMEM
+    msg_hbm,  # [E_pad, F] ANY (manually DMA'd)
+    *rest,
+    precision,
+    edge_chunk: int,
+    nbuf: int,
+    weighted: bool,
+):
+    if weighted:
+        w_hbm, out_ref, acc_ref, mbuf, wbuf, sem, wsem = rest
+    else:
+        out_ref, acc_ref, mbuf, sem = rest
+        w_hbm = wbuf = wsem = None
+    b = pl.program_id(0)
+    c0 = c0_ref[b]
+    nc = nc_ref[b]
+    rb = bounds_ref.shape[2]
+    lo = bounds_ref[0, 0:1, :].reshape(rb, 1)
+    hi = bounds_ref[0, 1:2, :].reshape(rb, 1)
+    eidx = jax.lax.broadcasted_iota(jnp.int32, (1, edge_chunk), 1)
+
+    def mdma(slot, i):
+        return pltpu.make_async_copy(
+            msg_hbm.at[pl.ds((c0 + i) * edge_chunk, edge_chunk), :],
+            mbuf.at[slot],
+            sem.at[slot],
+        )
+
+    def wdma(slot, i):
+        return pltpu.make_async_copy(
+            w_hbm.at[pl.ds(c0 + i, 1), :], wbuf.at[slot], wsem.at[slot]
+        )
+
+    # Warm-up: fill the pipeline nbuf deep (static unroll, masked by nc).
+    for j in range(nbuf):
+        @pl.when(j < nc)
+        def _(j=j):
+            mdma(j, j).start()
+            if weighted:
+                wdma(j, j).start()
+
+    def body(i, _):
+        slot = jax.lax.rem(i, nbuf)
+        mdma(slot, i).wait()
+        msgs = mbuf[slot]
+        if weighted:
+            wdma(slot, i).wait()
+            wcol = (
+                wbuf[slot, 0:1, :].astype(jnp.float32)
+                .reshape(edge_chunk, 1)
+            )
+            msgs = (msgs.astype(jnp.float32) * wcol).astype(msgs.dtype)
+        gidx = (c0 + i) * edge_chunk + eidx  # [1, EC]
+        hit = jnp.where((gidx >= lo) & (gidx < hi), 1.0, 0.0)
+        contrib = _dots(hit, msgs, precision, ((1,), (0,)))
+
+        @pl.when(i == 0)
+        def _():
+            acc_ref[:] = contrib
+
+        @pl.when(i > 0)
+        def _():
+            acc_ref[:] += contrib
+
+        # Reuse the slot for chunk i+nbuf now that its data is consumed.
+        @pl.when(i + nbuf < nc)
+        def _():
+            mdma(slot, i + nbuf).start()
+            if weighted:
+                wdma(slot, i + nbuf).start()
+
+        return 0
+
+    jax.lax.fori_loop(0, nc, body, 0)
+    out_ref[:] = acc_ref[:].astype(out_ref.dtype)
+
+
+def _scatter_block_impl(
+    messages, bounds, bc0, bnc, num_work, num_blocks, precision, edge_chunk,
+    weights2d=None,
+):
+    e_pad, f = messages.shape
+    rb = bounds.shape[2]
+    weighted = weights2d is not None
+    nbuf = SCATTER_NBUF
+    in_specs = [
+        pl.BlockSpec((1, 2, rb), lambda b, c, n: (b, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec(memory_space=pltpu.ANY),
+    ]
+    args = [bounds, messages]
+    scratch = [
+        pltpu.VMEM((rb, f), jnp.float32),
+        pltpu.VMEM((nbuf, edge_chunk, f), messages.dtype),
+    ]
+    if weighted:
+        # [num_chunks, 1, EC] -> [num_chunks, EC]: DMA one row per chunk.
+        wflat = weights2d.reshape(weights2d.shape[0], edge_chunk)
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.ANY))
+        args.append(wflat)
+        scratch.append(pltpu.VMEM((nbuf, 1, edge_chunk), wflat.dtype))
+    scratch.append(pltpu.SemaphoreType.DMA((nbuf,)))
+    if weighted:
+        scratch.append(pltpu.SemaphoreType.DMA((nbuf,)))
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(num_blocks,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((rb, f), lambda b, c, n: (b, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=scratch,
+    )
+    kernel = functools.partial(
+        _scatter_block_kernel, precision=precision, edge_chunk=edge_chunk,
+        nbuf=nbuf, weighted=weighted,
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((num_blocks * rb, f), messages.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * num_work * edge_chunk * rb * f,
+            bytes_accessed=(num_work * edge_chunk + num_blocks * rb)
+            * f * messages.dtype.itemsize,
+            transcendentals=0,
+        ),
+    )(bc0, bnc, *args)
 
 
 # ---------------------------------------------------------------------------
@@ -393,14 +564,14 @@ def _expand_impl(
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
 def _scatter_core(messages, aux, num_nodes, precision, edge_chunk):
-    receivers, bounds, wb, wc, wf, wcf, weights2d = aux
+    receivers, bounds, wb, wc, wf, wcf, weights2d, bc0, bnc = aux
     num_blocks = bounds.shape[0]
     e = messages.shape[0]
     e_pad = ((e + edge_chunk - 1) // edge_chunk) * edge_chunk
     messages = jnp.pad(messages, ((0, e_pad - e), (0, 0)))
     out = _scatter_impl(
         messages, bounds, wb, wc, wf, num_blocks, precision, edge_chunk,
-        weights2d,
+        weights2d, block_tables=(bc0, bnc),
     )
     return out[:num_nodes]
 
@@ -414,7 +585,7 @@ def _scatter_fwd(messages, aux, num_nodes, precision, edge_chunk):
 
 def _scatter_bwd(num_nodes, precision, edge_chunk, res, g):
     aux, e = res
-    receivers, bounds, wb, wc, wf, wcf, weights2d = aux
+    receivers, bounds, wb, wc, wf, wcf, weights2d, _bc0, _bnc = aux
     n_pad = bounds.shape[0] * bounds.shape[2]
     g_pad = jnp.pad(g, ((0, n_pad - g.shape[0]), (0, 0)))
     e_pad = ((e + edge_chunk - 1) // edge_chunk) * edge_chunk
@@ -429,7 +600,7 @@ _scatter_core.defvjp(_scatter_fwd, _scatter_bwd)
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
 def _expand_core(rows, aux, num_edges, precision, edge_chunk):
-    receivers, bounds, wb, wc, wf, wcf, weights2d = aux
+    receivers, bounds, wb, wc, wf, wcf, weights2d, _bc0, _bnc = aux
     n_pad = bounds.shape[0] * bounds.shape[2]
     rows = jnp.pad(rows, ((0, n_pad - rows.shape[0]), (0, 0)))
     e_pad = ((num_edges + edge_chunk - 1) // edge_chunk) * edge_chunk
@@ -448,12 +619,13 @@ def _expand_fwd(rows, aux, num_edges, precision, edge_chunk):
 
 def _expand_bwd(num_edges, precision, edge_chunk, res, g):
     aux, n = res
-    receivers, bounds, wb, wc, wf, wcf, weights2d = aux
+    receivers, bounds, wb, wc, wf, wcf, weights2d, bc0, bnc = aux
     e_pad = ((num_edges + edge_chunk - 1) // edge_chunk) * edge_chunk
     g_pad = jnp.pad(g, ((0, e_pad - g.shape[0]), (0, 0)))
     nb = bounds.shape[0]
     drows = _scatter_impl(
-        g_pad, bounds, wb, wc, wf, nb, precision, edge_chunk, weights2d
+        g_pad, bounds, wb, wc, wf, nb, precision, edge_chunk, weights2d,
+        block_tables=(bc0, bnc),
     )
     return drows[:n], None
 
@@ -468,6 +640,7 @@ def _make_aux(receivers, tables, weights, edge_chunk):
         e_pad = ((e + edge_chunk - 1) // edge_chunk) * edge_chunk
         w = jnp.pad(weights, (0, e_pad - e))
         weights2d = _weights_2d(w, edge_chunk)
+    bc0, bnc = _block_chunk_tables(tables)
     return (
         receivers.astype(jnp.int32),
         jnp.asarray(tables.bounds),
@@ -476,6 +649,8 @@ def _make_aux(receivers, tables, weights, edge_chunk):
         jnp.asarray(tables.work_first),
         jnp.asarray(tables.work_cfirst),
         weights2d,
+        jnp.asarray(bc0),
+        jnp.asarray(bnc),
     )
 
 
