@@ -116,6 +116,41 @@ def build_workload():
     return grad_fn, params, x, ctx.num_edges
 
 
+def step_roofline(per_step_s: float):
+    """Analytic HBM-traffic model of one train step (bf16 IO) -> roofline.
+
+    Counts every [E, F] edge-stream pass and the dense matmuls/elementwise
+    the jitted step executes: L1 propagate-first spmm at F=128 (gather +
+    weighted scatter; backward vanishes — input features carry no grad),
+    L2 fwd + bwd spmm at F=40, the four MXU matmuls, loss, and the
+    elementwise glue. BASELINE.json north star: >= 70% HBM utilization.
+    """
+    from keras_geometric_tpu.utils.profiling import Roofline
+
+    n, e = ARXIV_NODES, ARXIV_EDGES + ARXIV_NODES  # incl. densified loops
+    r = Roofline(chip="v5e")
+    b = 2  # bf16
+    # L1: gather writes [E,128] + random-reads ~E rows; weighted scatter
+    # reads [E,128] (+~10% boundary re-reads) + weights, writes [N,128].
+    r.bytes += b * (2 * e * ARXIV_FEATS)  # gather read+write
+    r.bytes += b * (1.1 * e * ARXIV_FEATS + n * ARXIV_FEATS) + 2 * e
+    # L2 fwd + bwd: same shape at F=40 (A symmetric: bwd = same operator).
+    for _ in range(2):
+        r.bytes += b * (2 * e * ARXIV_CLASSES)
+        r.bytes += b * (1.1 * e * ARXIV_CLASSES + n * ARXIV_CLASSES) + 2 * e
+    # Dense matmuls: h1 = s1@W1, h2 = relu(h1)@W2, dW2, g1 = (Ag2)@W2^T, dW1.
+    r.add_matmul(n, ARXIV_FEATS, HIDDEN, b)
+    r.add_matmul(n, HIDDEN, ARXIV_CLASSES, b)
+    r.add_matmul(HIDDEN, n, ARXIV_CLASSES, b)
+    r.add_matmul(n, ARXIV_CLASSES, HIDDEN, b)
+    r.add_matmul(ARXIV_FEATS, n, HIDDEN, b)
+    # Elementwise glue: x cast, diag term, relu fwd+bwd, loss (f32).
+    r.add_elementwise(n * ARXIV_FEATS, b, passes=3)
+    r.add_elementwise(n * HIDDEN, b, passes=4)
+    r.add_elementwise(n * ARXIV_CLASSES, 4, passes=4)
+    return r.report(per_step_s, use_bf16_peak=True)
+
+
 def main():
     import jax
 
@@ -141,6 +176,7 @@ def main():
     k_lo, k_hi = 2, 22
     per_step = (timed(k_hi) - timed(k_lo)) / (k_hi - k_lo)
     edges_per_s = num_edges / per_step
+    roof = step_roofline(per_step)
     print(
         json.dumps(
             {
@@ -148,6 +184,9 @@ def main():
                 "value": round(edges_per_s, 1),
                 "unit": "edges/s",
                 "vs_baseline": round(edges_per_s / REFERENCE_EDGES_PER_S, 2),
+                "hbm_util": round(roof["hbm_utilization"], 4),
+                "achieved_gbps": round(roof["achieved_gbps"], 1),
+                "per_step_ms": round(per_step * 1e3, 3),
             }
         )
     )

@@ -16,6 +16,7 @@ capability surface of ``keras-geometric`` (reference layer map in
 
 from ._version import __version__
 from .graph import Graph
+from .nn.aggregators import PoolingAggregator, aggregate
 from .nn.gatv2_conv import GATv2Conv
 from .nn.gcn_conv import GCNConv
 from .nn.gin_conv import GINConv
@@ -64,6 +65,9 @@ __all__ = [
     "GINConv",
     "GATv2Conv",
     "SAGEConv",
+    # aggregators
+    "aggregate",
+    "PoolingAggregator",
     # pooling
     "GlobalPooling",
     "BatchGlobalPooling",

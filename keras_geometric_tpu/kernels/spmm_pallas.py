@@ -73,8 +73,12 @@ DEFAULT_EDGE_CHUNK = 512
 # BLOCK with an inner dynamic loop over its edge chunks (manual
 # multi-buffered DMA) — ~3x fewer grid steps than the flat work-list
 # grid, whose fixed per-item cost (~2µs) dominates at production scale.
-# "work" is the original one-item-per-(block, chunk) grid.
-SCATTER_MODE = "block"
+# "work" is the original one-item-per-(block, chunk) grid. The global is
+# the default only; pass ``mode=`` to the public entry points to select
+# per-call (the global is read at trace time, so flipping it after a jit
+# cache fill has no effect on cached executables). The KGT_SCATTER_MODE
+# env var overrides the default at import time (A/B benchmarking).
+SCATTER_MODE = __import__("os").environ.get("KGT_SCATTER_MODE", "work")
 SCATTER_NBUF = 4  # in-flight edge-chunk DMA buffers in block mode
 
 
@@ -117,8 +121,10 @@ def _tables_from_row_ptr(
     starts = row_ptr[::row_block]  # [num_blocks + 1]
     s = starts[:-1].astype(np.int64)
     t = starts[1:].astype(np.int64)
-    c0 = s // edge_chunk
-    c1 = np.maximum(np.maximum(t - 1, s) // edge_chunk, c0)
+    # Clamp empty trailing blocks (s == t == E, E % ec == 0) into range —
+    # their chunk reference would otherwise index one past the last chunk.
+    c0 = np.minimum(s, np.maximum(t - 1, 0)) // edge_chunk
+    c1 = np.maximum(np.maximum(t - 1, 0) // edge_chunk, c0)
     counts = (c1 - c0 + 1).astype(np.int64)
     total = int(counts.sum())
     wb = np.repeat(np.arange(num_blocks, dtype=np.int32), counts)
@@ -251,9 +257,19 @@ def _scatter_kernel(
 
 def _scatter_impl(
     messages, bounds, wb, wc, wf, num_blocks, precision, edge_chunk,
-    weights2d=None, block_tables=None,
+    weights2d=None, block_tables=None, mode=None,
 ):
-    if SCATTER_MODE == "block" and block_tables is not None:
+    if mode is None:
+        mode = SCATTER_MODE
+    # Block mode's manual HBM DMA (tpu.memref_slice) requires the lane
+    # dim 128-aligned — unlike BlockSpec-driven streaming, which pads.
+    # Non-aligned feature widths (e.g. a 40-class output layer) take the
+    # work-list grid.
+    if (
+        mode == "block"
+        and block_tables is not None
+        and messages.shape[1] % 128 == 0
+    ):
         bc0, bnc = block_tables
         return _scatter_block_impl(
             messages, bounds, bc0, bnc, wb.shape[0], num_blocks, precision,
@@ -319,8 +335,12 @@ def _block_chunk_tables(tables: RowTables):
     ec = tables.edge_chunk
     start = bounds[:, 0, 0].astype(np.int64)  # first edge of block
     end = bounds[:, 1, -1].astype(np.int64)  # one-past-last edge
-    c0 = start // ec
-    c1 = np.maximum(np.maximum(end - 1, start) // ec, c0)
+    # Clamp empty trailing blocks (start == end == E with E % ec == 0)
+    # back into range: their chunk DMA would otherwise read past the end
+    # of the padded message array. The read is still zero-masked by the
+    # bounds check, so any in-range chunk is equally correct.
+    c0 = np.minimum(start, np.maximum(end - 1, 0)) // ec
+    c1 = np.maximum(np.maximum(end - 1, 0) // ec, c0)
     nc = (c1 - c0 + 1).astype(np.int32)
     out = (c0.astype(np.int32), nc)
     tables._block_chunks = out
@@ -358,8 +378,13 @@ def _scatter_block_kernel(
         )
 
     def wdma(slot, i):
+        # Mosaic requires HBM slice shapes 8-sublane-aligned (the round-1
+        # BENCH failure was a 1-row bf16 slice here): DMA the enclosing
+        # 8-row-aligned window of the (row-padded) weight table and select
+        # the wanted row in VMEM.
+        base = pl.multiple_of(((c0 + i) // 8) * 8, 8)
         return pltpu.make_async_copy(
-            w_hbm.at[pl.ds(c0 + i, 1), :], wbuf.at[slot], wsem.at[slot]
+            w_hbm.at[pl.ds(base, 8), :], wbuf.at[slot], wsem.at[slot]
         )
 
     # Warm-up: fill the pipeline nbuf deep (static unroll, masked by nc).
@@ -376,9 +401,16 @@ def _scatter_block_kernel(
         msgs = mbuf[slot]
         if weighted:
             wdma(slot, i).wait()
-            wcol = (
-                wbuf[slot, 0:1, :].astype(jnp.float32)
-                .reshape(edge_chunk, 1)
+            # Select row (c0+i) % 8 of the aligned [8, EC] window with a
+            # sublane-iota compare + reduce (a dynamic 1-sublane VMEM
+            # slice would hit the same Mosaic alignment rule as the DMA).
+            row = jax.lax.rem(c0 + i, 8)
+            ridx = jax.lax.broadcasted_iota(jnp.int32, (8, edge_chunk), 0)
+            wsel = jnp.where(
+                ridx == row, wbuf[slot].astype(jnp.float32), 0.0
+            )
+            wcol = jnp.sum(wsel, axis=0, keepdims=True).reshape(
+                edge_chunk, 1
             )
             msgs = (msgs.astype(jnp.float32) * wcol).astype(msgs.dtype)
         gidx = (c0 + i) * edge_chunk + eidx  # [1, EC]
@@ -425,11 +457,16 @@ def _scatter_block_impl(
         pltpu.VMEM((nbuf, edge_chunk, f), messages.dtype),
     ]
     if weighted:
-        # [num_chunks, 1, EC] -> [num_chunks, EC]: DMA one row per chunk.
-        wflat = weights2d.reshape(weights2d.shape[0], edge_chunk)
+        # [num_chunks, 1, EC] -> [num_chunks_pad8, EC]: rows padded to the
+        # 8-sublane DMA grain; the kernel fetches aligned [8, EC] windows.
+        nch = weights2d.shape[0]
+        wflat = weights2d.reshape(nch, edge_chunk)
+        pad8 = (-nch) % 8
+        if pad8:
+            wflat = jnp.pad(wflat, ((0, pad8), (0, 0)))
         in_specs.append(pl.BlockSpec(memory_space=pltpu.ANY))
         args.append(wflat)
-        scratch.append(pltpu.VMEM((nbuf, 1, edge_chunk), wflat.dtype))
+        scratch.append(pltpu.VMEM((nbuf, 8, edge_chunk), wflat.dtype))
     scratch.append(pltpu.SemaphoreType.DMA((nbuf,)))
     if weighted:
         scratch.append(pltpu.SemaphoreType.DMA((nbuf,)))
@@ -562,8 +599,8 @@ def _expand_impl(
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
-def _scatter_core(messages, aux, num_nodes, precision, edge_chunk):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
+def _scatter_core(messages, aux, num_nodes, precision, edge_chunk, mode):
     receivers, bounds, wb, wc, wf, wcf, weights2d, bc0, bnc = aux
     num_blocks = bounds.shape[0]
     e = messages.shape[0]
@@ -571,19 +608,18 @@ def _scatter_core(messages, aux, num_nodes, precision, edge_chunk):
     messages = jnp.pad(messages, ((0, e_pad - e), (0, 0)))
     out = _scatter_impl(
         messages, bounds, wb, wc, wf, num_blocks, precision, edge_chunk,
-        weights2d, block_tables=(bc0, bnc),
+        weights2d, block_tables=(bc0, bnc), mode=mode,
     )
     return out[:num_nodes]
 
 
-def _scatter_fwd(messages, aux, num_nodes, precision, edge_chunk):
-    return _scatter_core(messages, aux, num_nodes, precision, edge_chunk), (
-        aux,
-        messages.shape[0],
-    )
+def _scatter_fwd(messages, aux, num_nodes, precision, edge_chunk, mode):
+    return _scatter_core(
+        messages, aux, num_nodes, precision, edge_chunk, mode
+    ), (aux, messages.shape[0])
 
 
-def _scatter_bwd(num_nodes, precision, edge_chunk, res, g):
+def _scatter_bwd(num_nodes, precision, edge_chunk, mode, res, g):
     aux, e = res
     receivers, bounds, wb, wc, wf, wcf, weights2d, _bc0, _bnc = aux
     n_pad = bounds.shape[0] * bounds.shape[2]
@@ -598,8 +634,8 @@ def _scatter_bwd(num_nodes, precision, edge_chunk, res, g):
 _scatter_core.defvjp(_scatter_fwd, _scatter_bwd)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
-def _expand_core(rows, aux, num_edges, precision, edge_chunk):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
+def _expand_core(rows, aux, num_edges, precision, edge_chunk, mode):
     receivers, bounds, wb, wc, wf, wcf, weights2d, _bc0, _bnc = aux
     n_pad = bounds.shape[0] * bounds.shape[2]
     rows = jnp.pad(rows, ((0, n_pad - rows.shape[0]), (0, 0)))
@@ -610,14 +646,13 @@ def _expand_core(rows, aux, num_edges, precision, edge_chunk):
     return out[:num_edges]
 
 
-def _expand_fwd(rows, aux, num_edges, precision, edge_chunk):
-    return _expand_core(rows, aux, num_edges, precision, edge_chunk), (
-        aux,
-        rows.shape[0],
-    )
+def _expand_fwd(rows, aux, num_edges, precision, edge_chunk, mode):
+    return _expand_core(
+        rows, aux, num_edges, precision, edge_chunk, mode
+    ), (aux, rows.shape[0])
 
 
-def _expand_bwd(num_edges, precision, edge_chunk, res, g):
+def _expand_bwd(num_edges, precision, edge_chunk, mode, res, g):
     aux, n = res
     receivers, bounds, wb, wc, wf, wcf, weights2d, bc0, bnc = aux
     e_pad = ((num_edges + edge_chunk - 1) // edge_chunk) * edge_chunk
@@ -625,7 +660,7 @@ def _expand_bwd(num_edges, precision, edge_chunk, res, g):
     nb = bounds.shape[0]
     drows = _scatter_impl(
         g_pad, bounds, wb, wc, wf, nb, precision, edge_chunk, weights2d,
-        block_tables=(bc0, bnc),
+        block_tables=(bc0, bnc), mode=mode,
     )
     return drows[:n], None
 
@@ -664,6 +699,7 @@ def scatter_sum_sorted(
     precision="split2",
     edge_chunk: int = DEFAULT_EDGE_CHUNK,
     weights: jax.Array | None = None,
+    mode: str | None = None,
 ) -> jax.Array:
     """Sum-reduce receiver-sorted ``[E, F]`` messages into ``[N, F]`` rows.
 
@@ -671,7 +707,9 @@ def scatter_sum_sorted(
     required under jit with traced receivers. ``weights`` ([E]) are fused
     into the kernel (messages scaled chunk-wise in VMEM). ``precision``:
     ``"split2"`` (default) = full f32 fidelity from two bf16 passes;
-    ``DEFAULT`` = single pass (exact rate for bf16 data).
+    ``DEFAULT`` = single pass (exact rate for bf16 data). ``mode``
+    (``"work"``/``"block"``) selects the grid strategy per call; ``None``
+    reads the module default :data:`SCATTER_MODE` at trace time.
     """
     if messages.ndim != 2:
         raise ValueError(f"messages must be [E, F], got {messages.shape}")
@@ -683,8 +721,10 @@ def scatter_sum_sorted(
             raise ValueError("receivers must be sorted (receiver-major CSR)")
         tables = build_row_tables(recv_np, num_nodes, edge_chunk=edge_chunk)
     aux = _make_aux(receivers, tables, weights, tables.edge_chunk)
+    if mode is None:
+        mode = SCATTER_MODE
     return _scatter_core(messages, aux, num_nodes, precision,
-                         tables.edge_chunk)
+                         tables.edge_chunk, mode)
 
 
 def expand_sorted(
@@ -696,12 +736,14 @@ def expand_sorted(
     precision="split2",
     edge_chunk: int = DEFAULT_EDGE_CHUNK,
     weights: jax.Array | None = None,
+    mode: str | None = None,
 ) -> jax.Array:
     """Sorted gather: ``out[e] = rows[receivers[e]] (* weights[e])``.
 
     The transpose of :func:`scatter_sum_sorted`; replaces
     ``jnp.take(rows, receivers)`` for sorted static receivers, streaming
-    sequentially instead of XLA's runtime sort/gather/unsort.
+    sequentially instead of XLA's runtime sort/gather/unsort. ``mode``
+    selects the scatter grid strategy used by the BACKWARD pass.
     """
     if num_edges is None:
         num_edges = receivers.shape[0]
@@ -712,7 +754,10 @@ def expand_sorted(
             raise ValueError("receivers must be sorted")
         tables = build_row_tables(recv_np, num_nodes, edge_chunk=edge_chunk)
     aux = _make_aux(receivers, tables, weights, tables.edge_chunk)
-    return _expand_core(rows, aux, num_edges, precision, tables.edge_chunk)
+    if mode is None:
+        mode = SCATTER_MODE
+    return _expand_core(rows, aux, num_edges, precision, tables.edge_chunk,
+                        mode)
 
 
 # ---------------------------------------------------------------------------

@@ -1,6 +1,11 @@
 """Neural network layers: message passing core, conv layers, pooling."""
 
-from .aggregators import AGGREGATORS, aggregate, available_aggregators
+from .aggregators import (
+    AGGREGATORS,
+    PoolingAggregator,
+    aggregate,
+    available_aggregators,
+)
 from .gatv2_conv import GATv2Conv
 from .gcn_conv import GCNConv
 from .gin_conv import GINConv

@@ -164,6 +164,12 @@ class GATv2Conv(Module):
                 "With a GraphContext, construct GATv2Conv with "
                 "add_self_loops=False and fold loops into prepare_graph()."
             )
+        if isinstance(x, (tuple, list)):
+            raise ValueError(
+                "bipartite (x_target, x_source) inputs are not supported on "
+                "the GraphContext path — a context is built for one node "
+                "set; use the plain edge_index path instead."
+            )
         n = x.shape[0]
         h, f = self.heads, self.output_dim
         ht = x @ params["kernel"]  # [N, H*F]

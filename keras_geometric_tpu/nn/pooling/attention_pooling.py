@@ -170,28 +170,46 @@ class Set2Set(Module):
         training: bool = False,
         rng: jax.Array | None = None,
     ) -> jax.Array:
+        from ..module import dropout as _dropout
+
         num_nodes, input_dim = x.shape
         units = self.units
         att = Dense(1, activation="tanh")
+        drop_active = training and self.dropout > 0.0
+        if drop_active and rng is None:
+            raise ValueError("dropout requires an rng key when training")
 
-        def attend(h: jax.Array) -> jax.Array:
-            """One attention read: [1, units] hidden -> [1, F] features."""
+        def attend(h: jax.Array, key) -> jax.Array:
+            """One attention read: [1, units] hidden -> [1, F] features.
+
+            Dropout hits the attention INPUT (the [x, h] concat) each step
+            and in the final pass, exactly like the reference
+            (attention_pooling.py:166-172, 202-205); the weighted sum uses
+            the original features.
+            """
             h_expanded = jnp.broadcast_to(h, (num_nodes, units))
             att_in = jnp.concatenate([x, h_expanded], axis=-1)
+            if drop_active:
+                att_in = _dropout(key, att_in, self.dropout, training)
             scores = att.apply(params["attention_dense"], att_in)  # [N, 1]
             weights = _masked_softmax_over_nodes(scores, node_mask)
             return jnp.sum(weights * x, axis=0, keepdims=True)
 
-        def step(carry, _):
+        if drop_active:
+            keys = jax.random.split(rng, self.processing_steps + 1)
+            step_keys, final_key = keys[:-1], keys[-1]
+        else:
+            step_keys = jnp.zeros((self.processing_steps, 2), jnp.uint32)
+            final_key = None
+
+        def step(carry, key):
             h, c = carry
-            read = attend(h)
+            read = attend(h, key)
             h_new, c_new = _lstm_cell_apply(params["lstm"], read, h, c)
             return (h_new, c_new), None
 
         h0 = jnp.zeros((1, units), dtype=x.dtype)
         c0 = jnp.zeros((1, units), dtype=x.dtype)
-        (h, _), _ = jax.lax.scan(
-            step, (h0, c0), None, length=self.processing_steps
-        )
-        final_read = attend(h)
+        (h, _), _ = jax.lax.scan(step, (h0, c0), step_keys)
+        final_read = attend(h, final_key)
         return jnp.concatenate([h, final_read], axis=-1)

@@ -101,6 +101,12 @@ class SAGEConv(Module):
         indices_are_sorted: bool = False,
         context=None,
     ) -> jax.Array:
+        if context is not None and isinstance(x, (tuple, list)):
+            raise ValueError(
+                "bipartite (x_target, x_source) inputs are not supported on "
+                "the GraphContext path — a context is built for one node "
+                "set; use the plain edge_index path instead."
+            )
         num_nodes = x.shape[0]
         if num_nodes == 0:
             return jnp.zeros((0, self.output_dim), dtype=x.dtype)

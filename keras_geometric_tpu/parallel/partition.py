@@ -100,10 +100,28 @@ def partition_graph(
         edge_weight = norm if edge_weight is None else edge_weight * norm
 
     nodes_per_part = round_up(max(num_nodes, 1), num_parts) // num_parts
-    part_of_edge = receivers // nodes_per_part
-    # Guard: every receiver < num_nodes <= P * L so part ids are in range.
 
-    counts = np.bincount(part_of_edge, minlength=num_parts)
+    # ONE global stable receiver sort (native counting sort when built):
+    # contiguous receiver ranges mean globally-sorted == grouped by part
+    # AND receiver-sorted within each part — the per-part argsort loop of
+    # round 1 was O(P·E log E) host time at ogbn-products scale.
+    from .. import native
+
+    perm = native.coo_to_csr_perm(
+        receivers.astype(np.int32), num_nodes
+    )[0]
+    s_sorted = senders[perm]
+    r_sorted = receivers[perm]
+    ids_sorted = np.arange(num_edges, dtype=np.int32)[perm]
+    w_sorted = (
+        np.asarray(edge_weight, np.float32)[perm]
+        if edge_weight is not None
+        else None
+    )
+    bounds = np.searchsorted(
+        r_sorted, np.arange(num_parts + 1, dtype=np.int64) * nodes_per_part
+    )
+    counts = np.diff(bounds)
     edges_per_part = round_up(max(int(counts.max()), 1), edge_multiple)
 
     s_out = np.zeros((num_parts, edges_per_part), np.int32)
@@ -116,20 +134,15 @@ def partition_graph(
         else None
     )
 
-    edge_ids = np.arange(num_edges, dtype=np.int32)
     for p in range(num_parts):
-        sel = part_of_edge == p
-        k = int(sel.sum())
-        # Receiver-sort within the partition: local segment reductions get
-        # the sorted fast path.
-        local_r = receivers[sel] - p * nodes_per_part
-        order = np.argsort(local_r, kind="stable")
-        s_out[p, :k] = senders[sel][order]
-        r_out[p, :k] = local_r[order]
+        lo, hi = int(bounds[p]), int(bounds[p + 1])
+        k = hi - lo
+        s_out[p, :k] = s_sorted[lo:hi]
+        r_out[p, :k] = r_sorted[lo:hi] - p * nodes_per_part
         m_out[p, :k] = True
-        p_out[p, :k] = edge_ids[sel][order]
+        p_out[p, :k] = ids_sorted[lo:hi]
         if w_out is not None:
-            w_out[p, :k] = np.asarray(edge_weight)[sel][order]
+            w_out[p, :k] = w_sorted[lo:hi]
         # Padded edges point at local node 0 with mask False.
 
     node_ids = np.arange(num_parts * nodes_per_part).reshape(

@@ -85,6 +85,29 @@ class TestGCN:
             np.testing.assert_allclose(a, b, rtol=1e-3, atol=1e-4)
 
 
+def _attend_reference(ht, att, senders, receivers, edge_mask, n, heads,
+                      drop_mask=None, negative_slope=0.2, eps=1e-10):
+    """Pure-JAX (autodiff'd) restatement of the fused attend math."""
+    e = senders.shape[0]
+    f = att.shape[-1]
+    hj = jnp.take(ht, senders, axis=0).reshape(e, heads, f)
+    hi = jnp.take(ht, receivers, axis=0).reshape(e, heads, f)
+    z = jax.nn.leaky_relu(hi + hj, negative_slope=negative_slope)
+    scores = jnp.sum(z * att[None], axis=-1)
+    scores = jnp.where(
+        edge_mask[:, None], scores, jnp.full_like(scores, -jnp.inf)
+    )
+    m = jax.ops.segment_max(scores, receivers, n)
+    m = jnp.where(jnp.isfinite(m), m, 0.0)
+    ex = jnp.exp(scores - m[receivers])
+    den = jax.ops.segment_sum(ex, receivers, n)[receivers] + eps
+    alpha = ex / den
+    if drop_mask is not None:
+        alpha = alpha * drop_mask
+    msgs = (alpha[:, :, None] * hj).reshape(e, heads * f)
+    return jax.ops.segment_sum(msgs, receivers, n)
+
+
 class TestGATv2:
     def test_context_matches_plain(self, case, rng):
         n, ei, x, f = case
@@ -96,6 +119,85 @@ class TestGATv2:
             out_ctx = layer_ctx.apply(params, x, context=ctx)
         out_plain = layer_plain.apply(params, x, jnp.asarray(ei))
         np.testing.assert_allclose(out_ctx, out_plain, rtol=1e-4, atol=1e-4)
+
+    def test_context_param_gradients_match_plain(self, case, rng):
+        """Grad parity of the whole context path (fused attend custom VJP)
+        vs the plain XLA path, wrt every parameter."""
+        n, ei, x, f = case
+        ctx = prepare_graph(ei, n, add_self_loops=True)
+        layer_ctx = GATv2Conv(output_dim=6, heads=2, add_self_loops=False)
+        layer_plain = GATv2Conv(output_dim=6, heads=2)
+        params = layer_ctx.init(rng, f)
+
+        with pltpu.force_tpu_interpret_mode():
+            g_ctx = jax.grad(
+                lambda p: jnp.sum(layer_ctx.apply(p, x, context=ctx) ** 2)
+            )(params)
+        g_plain = jax.grad(
+            lambda p: jnp.sum(
+                layer_plain.apply(p, x, jnp.asarray(ei)) ** 2
+            )
+        )(params)
+        for a, b in zip(
+            jax.tree_util.tree_leaves(g_ctx),
+            jax.tree_util.tree_leaves(g_plain),
+        ):
+            np.testing.assert_allclose(a, b, rtol=2e-3, atol=1e-4)
+
+    @pytest.mark.parametrize("with_dropout", [False, True])
+    def test_attend_vjp_vs_autodiff(self, case, rng, with_dropout):
+        """The ~60-line hand-written attend backward (ops/csr.py) vs
+        jax.grad of a pure-XLA restatement with the SAME edge order, mask
+        (includes padded slots) and dropout mask — values and both input
+        cotangents (ht, att)."""
+        n, ei, x, f = case
+        heads, fh = 2, 8
+        ctx = prepare_graph(ei, n, add_self_loops=True)
+        e_pad = int(ctx.senders.shape[0])
+        k1, k2, k3 = jax.random.split(rng, 3)
+        ht = jax.random.normal(k1, (n, heads * fh), jnp.float32)
+        att = jax.random.normal(k2, (heads, fh), jnp.float32)
+        drop_mask = None
+        if with_dropout:
+            keep = 0.7
+            bern = jax.random.bernoulli(k3, keep, shape=(e_pad, heads))
+            drop_mask = jnp.where(bern, 1.0 / keep, 0.0)
+
+        def fused(ht, att):
+            return jnp.sum(
+                ctx.attend(ht, att, drop_mask=drop_mask) ** 2
+            )
+
+        def plain(ht, att):
+            return jnp.sum(
+                _attend_reference(
+                    ht, att, ctx.senders, ctx.receivers, ctx.edge_mask,
+                    ctx.num_nodes, heads, drop_mask=drop_mask,
+                ) ** 2
+            )
+
+        with pltpu.force_tpu_interpret_mode():
+            out_f = ctx.attend(ht, att, drop_mask=drop_mask)
+            g_ht_f, g_att_f = jax.grad(fused, argnums=(0, 1))(ht, att)
+        out_p = _attend_reference(
+            ht, att, ctx.senders, ctx.receivers, ctx.edge_mask,
+            ctx.num_nodes, heads, drop_mask=drop_mask,
+        )
+        g_ht_p, g_att_p = jax.grad(plain, argnums=(0, 1))(ht, att)
+        np.testing.assert_allclose(out_f, out_p, rtol=1e-4, atol=1e-4)
+        # Gradient tolerance: the fused path's one-hot contractions run the
+        # split2 (two-bf16-pass) scheme; abs error up to ~2e-3 on O(1)
+        # cotangents is rounding, not structure.
+        np.testing.assert_allclose(g_ht_f, g_ht_p, rtol=1e-3, atol=3e-3)
+        np.testing.assert_allclose(g_att_f, g_att_p, rtol=1e-3, atol=3e-3)
+
+    def test_context_rejects_bipartite(self, case, rng):
+        n, ei, x, f = case
+        ctx = prepare_graph(ei, n, add_self_loops=True)
+        layer = GATv2Conv(output_dim=6, heads=2, add_self_loops=False)
+        params = layer.init(rng, f)
+        with pytest.raises((ValueError, TypeError), match="bipartite"):
+            layer.apply(params, (x, x), context=ctx)
 
 
 class TestGIN:
@@ -113,7 +215,7 @@ class TestGIN:
 
 class TestSAGE:
     @pytest.mark.parametrize(
-        "agg", ["mean", "sum", "max", "std", "pooling"]
+        "agg", ["mean", "sum", "max", "min", "std", "pooling"]
     )
     def test_context_matches_plain(self, case, rng, agg):
         n, ei, x, f = case
@@ -124,3 +226,11 @@ class TestSAGE:
             out_ctx = layer.apply(params, x, context=ctx)
         out_plain = layer.apply(params, x, jnp.asarray(ei))
         np.testing.assert_allclose(out_ctx, out_plain, rtol=1e-4, atol=1e-4)
+
+    def test_context_rejects_bipartite(self, case, rng):
+        n, ei, x, f = case
+        ctx = prepare_graph(ei, n)
+        layer = SAGEConv(output_dim=8)
+        params = layer.init(rng, f)
+        with pytest.raises((ValueError, TypeError), match="bipartite"):
+            layer.apply(params, (x, x), context=ctx)

@@ -131,6 +131,61 @@ class TestSet2Set:
         with pytest.raises(ValueError):
             Set2Set(output_dim=4, processing_steps=0)
 
+    def test_dropout_applied_in_training(self, feats, rng):
+        """Dropout hits the attention input during training (reference
+        attention_pooling.py:166-172, 202-205) — ADVICE r1: the field was
+        validated but never applied."""
+        layer = Set2Set(output_dim=4, processing_steps=2, dropout=0.5)
+        params = layer.init(rng, 6)
+        eval_out = layer.apply(params, feats)
+        k = jax.random.PRNGKey(7)
+        train_out = layer.apply(params, feats, training=True, rng=k)
+        assert not np.allclose(eval_out, train_out)
+        # Two different keys give different draws; same key reproduces.
+        t2 = layer.apply(
+            params, feats, training=True, rng=jax.random.PRNGKey(8)
+        )
+        assert not np.allclose(train_out, t2)
+        np.testing.assert_allclose(
+            train_out, layer.apply(params, feats, training=True, rng=k)
+        )
+        # Without a key, training + dropout must fail loudly.
+        with pytest.raises(ValueError, match="rng"):
+            layer.apply(params, feats, training=True)
+        # Zero rate is identity regardless of mode.
+        l0 = Set2Set(output_dim=4, processing_steps=2, dropout=0.0)
+        p0 = l0.init(rng, 6)
+        np.testing.assert_allclose(
+            l0.apply(p0, feats, training=True, rng=k), l0.apply(p0, feats)
+        )
+
+
+class TestPoolingAggregator:
+    def test_matches_sage_semantics(self, rng):
+        """Standalone learnable pooling aggregator (reference
+        aggregators.py:235-274): max over Dense(units, relu) of messages,
+        isolated receivers -> 0."""
+        from keras_geometric_tpu import PoolingAggregator
+
+        rng_np = np.random.default_rng(11)
+        e, f, n, units = 40, 6, 10, 12
+        msgs = jnp.asarray(rng_np.standard_normal((e, f)).astype(np.float32))
+        recv = jnp.asarray(rng_np.integers(0, n - 1, e).astype(np.int32))
+        agg = PoolingAggregator(units=units)
+        params = agg.init(rng, f)
+        out = agg.apply(params, msgs, recv, n)
+        assert out.shape == (n, units)
+        # Manual reference: dense+relu then per-receiver max, -inf -> 0.
+        k = np.asarray(params["mlp"]["kernel"])
+        b = np.asarray(params["mlp"]["bias"])
+        pooled = np.maximum(np.asarray(msgs) @ k + b, 0.0)
+        want = np.full((n, units), -np.inf, np.float32)
+        for i, r in enumerate(np.asarray(recv)):
+            want[r] = np.maximum(want[r], pooled[i])
+        want[~np.isfinite(want)] = 0.0
+        want[np.isneginf(want.max(axis=1))] = 0.0
+        np.testing.assert_allclose(out, want, rtol=1e-5, atol=1e-5)
+
     def test_jit(self, feats, rng):
         layer = Set2Set(output_dim=4)
         params = layer.init(rng, 6)

@@ -89,6 +89,97 @@ def test_backward_matches_xla():
     np.testing.assert_allclose(g, gref, rtol=1e-4, atol=1e-4)
 
 
+class TestScatterModes:
+    """Block-mode vs work-mode parity (ADVICE r1: the block kernel shipped
+    untested and failed Mosaic compile at HEAD). Interpret mode checks the
+    semantics; tools/tpu_smoke.py compiles every variant on hardware."""
+
+    @pytest.mark.parametrize("weighted", [False, True])
+    @pytest.mark.parametrize("dtype", [np.float32, "bfloat16"])
+    def test_block_matches_work(self, weighted, dtype):
+        msgs, recv = _case(300, 2000, 64, skew=True)
+        if dtype == "bfloat16":
+            msgs = jnp.asarray(msgs).astype(jnp.bfloat16)
+        else:
+            msgs = jnp.asarray(msgs)
+        t = K.build_row_tables(recv, 300)
+        w = None
+        if weighted:
+            w = jnp.asarray(
+                np.random.default_rng(1).random(2000).astype(np.float32)
+            )
+            if dtype == "bfloat16":
+                w = w.astype(jnp.bfloat16)
+        kw = dict(tables=t, weights=w)
+        with pltpu.force_tpu_interpret_mode():
+            a = K.scatter_sum_sorted(msgs, jnp.asarray(recv), 300,
+                                     mode="work", **kw)
+            b = K.scatter_sum_sorted(msgs, jnp.asarray(recv), 300,
+                                     mode="block", **kw)
+        np.testing.assert_allclose(
+            np.asarray(a, np.float32), np.asarray(b, np.float32),
+            rtol=2e-2 if dtype == "bfloat16" else 1e-5, atol=1e-4,
+        )
+
+    @pytest.mark.parametrize("weighted", [False, True])
+    def test_block_grad_matches_work(self, weighted):
+        msgs, recv = _case(200, 1500, 32)
+        t = K.build_row_tables(recv, 200)
+        w = jnp.asarray(
+            np.random.default_rng(2).random(1500).astype(np.float32)
+        ) if weighted else None
+
+        def loss(m, mode):
+            out = K.scatter_sum_sorted(
+                m, jnp.asarray(recv), 200, tables=t, weights=w, mode=mode
+            )
+            return jnp.sum(out ** 2)
+
+        with pltpu.force_tpu_interpret_mode():
+            ga = jax.grad(lambda m: loss(m, "work"))(jnp.asarray(msgs))
+            gb = jax.grad(lambda m: loss(m, "block"))(jnp.asarray(msgs))
+        np.testing.assert_allclose(ga, gb, rtol=1e-4, atol=1e-4)
+
+    def test_block_trailing_empty_blocks(self):
+        # E an exact multiple of edge_chunk AND trailing receivers empty:
+        # the un-clamped chunk table DMA'd past the end of the messages
+        # array (ADVICE r1 medium; work-mode tables had the same OOB).
+        # F=128 so block mode actually runs (narrower F falls back).
+        e, n, f = 512, 1024, 128
+        rng = np.random.default_rng(3)
+        recv = np.sort(rng.integers(0, 40, e).astype(np.int32))
+        msgs = rng.standard_normal((e, f)).astype(np.float32)
+        t = K.build_row_tables(recv, n, edge_chunk=512, row_block=128)
+        ref = jax.ops.segment_sum(jnp.asarray(msgs), jnp.asarray(recv), n)
+        bc0, bnc = K._block_chunk_tables(t)
+        assert int(bc0.max()) * 512 < e, "chunk table points out of range"
+        with pltpu.force_tpu_interpret_mode():
+            out = K.scatter_sum_sorted(
+                jnp.asarray(msgs), jnp.asarray(recv), n, tables=t,
+                mode="block",
+            )
+        np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-4)
+
+    def test_block_weighted_unaligned_chunk_rows(self):
+        # num_chunks not a multiple of 8: exercises the row-padded weight
+        # table and the aligned-window row select.
+        e, n, f = 3 * 256, 300, 16
+        rng = np.random.default_rng(4)
+        recv = np.sort(rng.integers(0, n, e).astype(np.int32))
+        msgs = rng.standard_normal((e, f)).astype(np.float32)
+        w = rng.random(e).astype(np.float32)
+        t = K.build_row_tables(recv, n, edge_chunk=256, row_block=128)
+        ref = jax.ops.segment_sum(
+            jnp.asarray(msgs * w[:, None]), jnp.asarray(recv), n
+        )
+        with pltpu.force_tpu_interpret_mode():
+            out = K.scatter_sum_sorted(
+                jnp.asarray(msgs), jnp.asarray(recv), n, tables=t,
+                weights=jnp.asarray(w), mode="block",
+            )
+        np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-4)
+
+
 def test_unsorted_receivers_rejected():
     msgs = jnp.ones((4, 8))
     recv = jnp.asarray(np.array([3, 1, 2, 0], np.int32))
