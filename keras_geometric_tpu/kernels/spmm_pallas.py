@@ -225,17 +225,29 @@ def _scatter_kernel(
     eidx = jax.lax.broadcasted_iota(jnp.int32, (1, edge_chunk), 1)
     gidx = base + eidx  # [1, EC]
     msgs = msg_ref[:]
-    if weighted:
-        # Scale the chunk in VMEM (no HBM weighting pass); padded slots
-        # carry zero weight.
-        # Keep the (EC, 1) reshape/broadcast in 32-bit (Mosaic restriction:
-        # non-no-op minor-dim insertion needs 32-bit); cast around it.
-        wcol = (
-            weights_ref[0, 0:1, :].astype(jnp.float32).reshape(edge_chunk, 1)
-        )
-        msgs = (msgs.astype(jnp.float32) * wcol).astype(msgs.dtype)
-
-    hit = jnp.where((gidx >= lo) & (gidx < hi), 1.0, 0.0)
+    inside = (gidx >= lo) & (gidx < hi)
+    fold = weighted and not (
+        precision == "split2" and msgs.dtype == jnp.float32
+    )
+    if fold:
+        # Fold the per-edge weights INTO the indicator: the select's true
+        # operand becomes the broadcast [1, EC] weight row, so weighted
+        # costs the same as unweighted. The alternative — scaling the
+        # chunk — was 3 full VPU passes over [EC, F] plus a lane->sublane
+        # relayout (~0.5 us/item, measured: 4.8 -> 2.7 ms at arxiv
+        # scale). Padded slots carry zero weight.
+        wrow = weights_ref[0, 0:1, :].astype(jnp.float32)  # [1, EC]
+        hit = jnp.where(inside, wrow, 0.0)
+    else:
+        if weighted:
+            # split2 needs the one-hot exact in bf16: scale the messages
+            # in f32 instead (the fidelity path; bf16 IO never lands here).
+            wcol = (
+                weights_ref[0, 0:1, :]
+                .astype(jnp.float32).reshape(edge_chunk, 1)
+            )
+            msgs = (msgs.astype(jnp.float32) * wcol).astype(msgs.dtype)
+        hit = jnp.where(inside, 1.0, 0.0)
     contrib = _dots(hit, msgs, precision, ((1,), (0,)))
 
     flags = work_first_ref[w]
@@ -399,6 +411,8 @@ def _scatter_block_kernel(
         slot = jax.lax.rem(i, nbuf)
         mdma(slot, i).wait()
         msgs = mbuf[slot]
+        gidx = (c0 + i) * edge_chunk + eidx  # [1, EC]
+        inside = (gidx >= lo) & (gidx < hi)
         if weighted:
             wdma(slot, i).wait()
             # Select row (c0+i) % 8 of the aligned [8, EC] window with a
@@ -409,12 +423,17 @@ def _scatter_block_kernel(
             wsel = jnp.where(
                 ridx == row, wbuf[slot].astype(jnp.float32), 0.0
             )
-            wcol = jnp.sum(wsel, axis=0, keepdims=True).reshape(
-                edge_chunk, 1
-            )
-            msgs = (msgs.astype(jnp.float32) * wcol).astype(msgs.dtype)
-        gidx = (c0 + i) * edge_chunk + eidx  # [1, EC]
-        hit = jnp.where((gidx >= lo) & (gidx < hi), 1.0, 0.0)
+            wrow = jnp.sum(wsel, axis=0, keepdims=True)  # [1, EC]
+            if not (precision == "split2" and msgs.dtype == jnp.float32):
+                # Fold weights into the indicator (see _scatter_kernel).
+                hit = jnp.where(inside, wrow, 0.0)
+            else:
+                msgs = (
+                    msgs.astype(jnp.float32) * wrow.reshape(edge_chunk, 1)
+                ).astype(msgs.dtype)
+                hit = jnp.where(inside, 1.0, 0.0)
+        else:
+            hit = jnp.where(inside, 1.0, 0.0)
         contrib = _dots(hit, msgs, precision, ((1,), (0,)))
 
         @pl.when(i == 0)
@@ -524,14 +543,30 @@ def _expand_kernel(
     eidx = jax.lax.broadcasted_iota(jnp.int32, (edge_chunk, 1), 0)
     gidx = base + eidx  # [EC, 1]
     rows = rows_ref[:]
+    inside = (gidx >= lo) & (gidx < hi)  # [EC, RB]
 
-    hit = jnp.where((gidx >= lo) & (gidx < hi), 1.0, 0.0)  # [EC, RB]
-    contrib = _dots(hit, rows, precision, ((1,), (0,)))
-    if weighted:
+    fold = weighted and not (
+        precision == "split2" and rows.dtype == jnp.float32
+    )
+    if fold:
+        # Fold weights into the indicator (see _scatter_kernel): one
+        # [1, EC] -> [EC, 1] relayout replaces 3 VPU passes over [EC, F].
         wcol = (
             weights_ref[0, 0:1, :].astype(jnp.float32).reshape(edge_chunk, 1)
         )
-        contrib = (contrib.astype(jnp.float32) * wcol).astype(contrib.dtype)
+        hit = jnp.where(inside, wcol, 0.0)
+        contrib = _dots(hit, rows, precision, ((1,), (0,)))
+    else:
+        hit = jnp.where(inside, 1.0, 0.0)
+        contrib = _dots(hit, rows, precision, ((1,), (0,)))
+        if weighted:
+            wcol = (
+                weights_ref[0, 0:1, :]
+                .astype(jnp.float32).reshape(edge_chunk, 1)
+            )
+            contrib = (
+                contrib.astype(jnp.float32) * wcol
+            ).astype(contrib.dtype)
 
     flags = work_cfirst_ref[w]
     is_first = (flags & 1) == 1
@@ -675,7 +710,14 @@ def _make_aux(receivers, tables, weights, edge_chunk):
         e_pad = ((e + edge_chunk - 1) // edge_chunk) * edge_chunk
         w = jnp.pad(weights, (0, e_pad - e))
         weights2d = _weights_2d(w, edge_chunk)
-    bc0, bnc = _block_chunk_tables(tables)
+    if isinstance(tables.bounds, np.ndarray):
+        bc0, bnc = _block_chunk_tables(tables)
+    else:
+        # Traced per-shard tables (inside shard_map): block-mode chunk
+        # tables are host-only; callers are routed to the work grid.
+        nb = tables.bounds.shape[0]
+        bc0 = jnp.zeros((nb,), jnp.int32)
+        bnc = jnp.ones((nb,), jnp.int32)
     return (
         receivers.astype(jnp.int32),
         jnp.asarray(tables.bounds),
@@ -723,6 +765,8 @@ def scatter_sum_sorted(
     aux = _make_aux(receivers, tables, weights, tables.edge_chunk)
     if mode is None:
         mode = SCATTER_MODE
+    if not isinstance(tables.bounds, np.ndarray):
+        mode = "work"  # traced tables: no host block-chunk tables
     return _scatter_core(messages, aux, num_nodes, precision,
                          tables.edge_chunk, mode)
 

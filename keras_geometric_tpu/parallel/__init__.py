@@ -6,6 +6,8 @@ from .distributed import (
     make_distributed_train_step,
     shard_partitioned_graph,
 )
+from .halo import build_halo_plan
+from .kernel_plan import build_kernel_plan, spmm_local_overlapped
 from .mesh import make_mesh
 from .partition import PartitionedGraph, partition_graph
 
@@ -17,4 +19,7 @@ __all__ = [
     "make_distributed_train_step",
     "make_distributed_eval_fn",
     "distributed_gcn_encoder",
+    "build_halo_plan",
+    "build_kernel_plan",
+    "spmm_local_overlapped",
 ]

@@ -63,6 +63,7 @@ def shard_partitioned_graph(
     masks: dict[str, Any] | None = None,
     axis: str = "graph",
     halo_plan=None,
+    kernel_plan=None,
 ):
     """Device-put node data + edge shards with graph-axis sharding.
 
@@ -70,6 +71,8 @@ def shard_partitioned_graph(
     over the mesh: x, senders, receivers, edge_weight, edge_mask, node_mask,
     plus y/masks when given (mask values are combined with the partition's
     node validity mask so padded nodes never contribute to loss/metrics).
+    With ``kernel_plan`` (parallel.kernel_plan.build_kernel_plan), the
+    Pallas-kernelized overlapped-halo arrays are added under ``kp_*`` keys.
     """
     import numpy as np
 
@@ -92,6 +95,11 @@ def shard_partitioned_graph(
     }
     if halo_plan is not None:
         out["send_idx"] = jax.device_put(halo_plan.send_idx, shard)
+    if kernel_plan is not None:
+        from .kernel_plan import plan_device_data
+
+        for k, v in plan_device_data(kernel_plan).items():
+            out[f"kp_{k}"] = jax.device_put(v, shard)
     if y is not None:
         out["y"] = jax.device_put(_node_shards(y, pg), shard)
     for name, m in (masks or {}).items():
@@ -141,6 +149,7 @@ def make_distributed_train_step(
     axis: str = "graph",
     donate: bool = True,
     halo: bool = False,
+    kernel_plan=None,
 ) -> Callable:
     """Build a jitted multi-chip train step.
 
@@ -148,20 +157,47 @@ def make_distributed_train_step(
     dict from :func:`shard_partitioned_graph` (requires ``y`` and
     ``train_mask`` entries; with ``halo=True`` it must have been built with
     a ``halo_plan`` so senders are table-local and ``send_idx`` exists).
+    With ``kernel_plan`` (and data built with the same plan), the per-chip
+    body runs the Pallas sorted scatter with the halo all_to_all overlapped
+    against local aggregation (parallel.kernel_plan).
     """
     import optax
 
     from ..training.train import TrainState
 
-    data_keys = (
-        "x", "senders", "receivers", "edge_weight", "edge_mask", "y",
-        "train_mask",
-    ) + (("send_idx",) if halo else ())
+    if kernel_plan is not None:
+        from .kernel_plan import plan_device_data
+        from .spmd import encoder_apply_local_kernelized
+
+        kp_keys = tuple(
+            f"kp_{k}" for k in plan_device_data(kernel_plan)
+        )
+        data_keys = ("x", "y", "train_mask") + kp_keys
+    else:
+        data_keys = (
+            "x", "senders", "receivers", "edge_weight", "edge_mask", "y",
+            "train_mask",
+        ) + (("send_idx",) if halo else ())
     data_specs = {k: P(axis) for k in data_keys}
 
     def loss_fn(params, data, rng):
         # Inside shard_map: leading partition axis is size-1; drop it.
         sq = lambda a: a[0]
+        if kernel_plan is not None:
+            kp_shard = {
+                k[len("kp_"):]: sq(v)
+                for k, v in data.items() if k.startswith("kp_")
+            }
+            logits = encoder_apply_local_kernelized(
+                encoder, params, sq(data["x"]), kp_shard, kernel_plan,
+                axis=axis, training=True, rng=rng,
+            )
+            logp = jax.nn.log_softmax(logits, axis=-1)
+            nll = label_nll(logp, sq(data["y"]))
+            m = sq(data["train_mask"]).astype(nll.dtype)
+            total = jax.lax.psum(jnp.sum(nll * m), axis)
+            count = jax.lax.psum(jnp.sum(m), axis)
+            return total / jnp.maximum(count, 1.0)
         return _loss_local(
             encoder,
             params,
