@@ -135,9 +135,14 @@ def step_roofline(per_step_s: float):
     r.bytes += b * (2 * e * ARXIV_FEATS)  # gather read+write
     r.bytes += b * (1.1 * e * ARXIV_FEATS + n * ARXIV_FEATS) + 2 * e
     # L2 fwd + bwd: same shape at F=40 (A symmetric: bwd = same operator).
+    # PHYSICAL bytes: narrow arrays are lane-padded to 128 on TPU, and the
+    # [*, 40] streams measurably cost [*, 128] time (step_breakdown.py;
+    # explicitly padding the class dim to 128 changed the step < 1%), so
+    # the utilization model uses the padded width.
+    classes_phys = 128
     for _ in range(2):
-        r.bytes += b * (2 * e * ARXIV_CLASSES)
-        r.bytes += b * (1.1 * e * ARXIV_CLASSES + n * ARXIV_CLASSES) + 2 * e
+        r.bytes += b * (2 * e * classes_phys)
+        r.bytes += b * (1.1 * e * classes_phys + n * classes_phys) + 2 * e
     # Dense matmuls: h1 = s1@W1, h2 = relu(h1)@W2, dW2, g1 = (Ag2)@W2^T, dW1.
     r.add_matmul(n, ARXIV_FEATS, HIDDEN, b)
     r.add_matmul(n, HIDDEN, ARXIV_CLASSES, b)

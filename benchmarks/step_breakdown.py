@@ -46,7 +46,7 @@ def main():
         results[name] = t * 1e3
         print(f"{name:42s} {t*1e3:8.3f} ms", flush=True)
 
-    for F in (256, 128):
+    for F in (256, 128, 40):
         h = jnp.asarray(
             rng.standard_normal((N, F)).astype(np.float32), jnp.bfloat16
         )

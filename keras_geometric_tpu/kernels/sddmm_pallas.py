@@ -1,0 +1,349 @@
+"""Pallas SDDMM: fused GATv2 per-edge attention scores, forward + backward.
+
+Reference semantics (gatv2_conv.py:268-284): per edge ``e = (s, r)`` and
+head ``h``,
+
+    score[e, h] = sum_f att[h, f] * leaky_relu(ht[r] + hj[e])[h*F + f]
+
+XLA executes this as an elementwise chain over ``[E, H, F]`` — measured
+~18 ms at ogbn-arxiv scale (~10x above byte cost; segmented lane
+reductions and 3-D relayouts defeat fusion). This kernel fuses the
+receiver-row expand (one-hot MXU, same tables as kernels/spmm_pallas),
+the add + leaky_relu + attention product, and the per-head reduction —
+expressed as ONE MXU contraction with a constant block-diagonal head
+selector ``S[D, H]`` (ones on each head's F-segment):
+
+    scores_chunk = (leaky(hi + hj) * att_flat) @ S      # [EC, H]
+
+The backward kernel recomputes the pre-activation the same way and emits
+
+    d_pre = (dscores @ S^T) * att_flat * leaky'(pre)    # [EC, D]
+    datt += ones[1, EC] @ (z * (dscores @ S^T))         # [1, D]
+
+``d_pre`` is simultaneously the sender cotangent (d hj) and, scattered by
+receivers, the receiver-side d ht — ``pre`` is symmetric in (hi, hj).
+
+Grid: the expand-shaped work list (chunk-major; per-chunk hi accumulates
+across overlapping row blocks in f32 scratch, compute fires on the
+chunk-last item).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .spmm_pallas import RowTables, _dots
+
+__all__ = ["sddmm_scores_sorted", "sddmm_bwd_sorted", "head_selector"]
+
+
+def _dots_data_lhs(data, exact_rhs, precision, dims):
+    """Contraction where the LHS is DATA and the RHS is an exact-in-bf16
+    selector (spmm_pallas._dots assumes the opposite operand order):
+    split2 hi/lo-splits the f32 LHS for full fidelity at bf16 MXU rate."""
+
+    def _dot(a, b):
+        return jax.lax.dot_general(
+            a, b, dimension_numbers=(dims, ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.DEFAULT,
+        )
+
+    if precision == "split2" and data.dtype == jnp.float32:
+        rhs = exact_rhs.astype(jnp.bfloat16)
+        hi = data.astype(jnp.bfloat16)
+        lo = (data - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        return _dot(hi, rhs) + _dot(lo, rhs)
+    return _dot(
+        data.astype(jnp.bfloat16), exact_rhs.astype(jnp.bfloat16)
+    )
+
+
+def head_selector(heads: int, fdim: int, dtype=jnp.float32) -> jax.Array:
+    """Block-diagonal ``[H*F, H]`` selector: ones on head h's F-segment."""
+    eye = np.zeros((heads * fdim, heads), np.float32)
+    for h in range(heads):
+        eye[h * fdim: (h + 1) * fdim, h] = 1.0
+    return jnp.asarray(eye, dtype)
+
+
+def _sddmm_fwd_kernel(
+    work_block_ref, work_chunk_ref, work_cfirst_ref,  # SMEM scalars
+    bounds_ref,  # [1, 2, RB]
+    rows_ref,  # [RB, D]
+    hj_ref,  # [EC, D]
+    att_ref,  # [1, D]
+    sel_ref,  # [D, H]
+    out_ref,  # [EC, H]
+    acc_ref,  # [EC, D] f32 scratch (hi accumulator)
+    *,
+    edge_chunk: int,
+    negative_slope: float,
+    precision,
+):
+    w = pl.program_id(0)
+    base = work_chunk_ref[w] * edge_chunk
+    lo = bounds_ref[0, 0:1, :]  # [1, RB]
+    hi_b = bounds_ref[0, 1:2, :]
+    gidx = base + jax.lax.broadcasted_iota(jnp.int32, (edge_chunk, 1), 0)
+    onehot = jnp.where((gidx >= lo) & (gidx < hi_b), 1.0, 0.0)  # [EC, RB]
+    contrib = _dots(onehot, rows_ref[:], precision, ((1,), (0,)))
+
+    flags = work_cfirst_ref[w]
+    is_first = (flags & 1) == 1
+    is_last = (flags & 2) == 2
+
+    @pl.when(is_first)
+    def _():
+        acc_ref[:] = contrib
+
+    @pl.when(jnp.logical_not(is_first))
+    def _():
+        acc_ref[:] += contrib
+
+    @pl.when(is_last)
+    def _():
+        pre = acc_ref[:] + hj_ref[:].astype(jnp.float32)  # [EC, D]
+        z = jnp.where(pre > 0, pre, negative_slope * pre)
+        za = z * att_ref[0:1, :].astype(jnp.float32)
+        scores = _dots_data_lhs(za, sel_ref[:], precision, ((1,), (0,)))
+        out_ref[:] = scores.astype(out_ref.dtype)
+
+
+def _sddmm_bwd_kernel(
+    work_block_ref, work_chunk_ref, work_cfirst_ref,
+    bounds_ref,  # [1, 2, RB]
+    rows_ref,  # [RB, D]
+    hj_ref,  # [EC, D]
+    att_ref,  # [1, D]
+    sel_ref,  # [D, H]
+    selt_ref,  # [H, D]
+    ds_ref,  # [EC, H] dscores
+    dpre_ref,  # [EC, D] out
+    datt_ref,  # [1, D] out (written on the globally last item)
+    acc_ref,  # [EC, D] f32 scratch
+    datt_acc_ref,  # [1, D] f32 scratch
+    *,
+    edge_chunk: int,
+    negative_slope: float,
+    precision,
+):
+    w = pl.program_id(0)
+    base = work_chunk_ref[w] * edge_chunk
+    lo = bounds_ref[0, 0:1, :]
+    hi_b = bounds_ref[0, 1:2, :]
+    gidx = base + jax.lax.broadcasted_iota(jnp.int32, (edge_chunk, 1), 0)
+    onehot = jnp.where((gidx >= lo) & (gidx < hi_b), 1.0, 0.0)
+    contrib = _dots(onehot, rows_ref[:], precision, ((1,), (0,)))
+
+    flags = work_cfirst_ref[w]
+    is_first = (flags & 1) == 1
+    is_last = (flags & 2) == 2
+
+    @pl.when(w == 0)
+    def _():
+        datt_acc_ref[:] = jnp.zeros_like(datt_acc_ref)
+
+    @pl.when(is_first)
+    def _():
+        acc_ref[:] = contrib
+
+    @pl.when(jnp.logical_not(is_first))
+    def _():
+        acc_ref[:] += contrib
+
+    @pl.when(is_last)
+    def _():
+        pre = acc_ref[:] + hj_ref[:].astype(jnp.float32)
+        lmask = jnp.where(pre > 0, 1.0, negative_slope)  # leaky'(pre)
+        dse = _dots_data_lhs(
+            ds_ref[:].astype(jnp.float32), selt_ref[:], precision,
+            ((1,), (0,)),
+        )  # [EC, D]: dscores broadcast to each head's F-segment
+        att_row = att_ref[0:1, :].astype(jnp.float32)
+        dpre = dse * att_row * lmask
+        dpre_ref[:] = dpre.astype(dpre_ref.dtype)
+        # datt partial: sum_e z[e] * dse[e] via one MXU [1,EC]@[EC,D].
+        z = jnp.where(pre > 0, pre, negative_slope * pre)
+        ones = jnp.full((1, edge_chunk), 1.0, jnp.float32)
+        datt_acc_ref[:] += _dots(ones, z * dse, precision, ((1,), (0,)))
+
+    @pl.when(w == pl.num_programs(0) - 1)
+    def _():
+        datt_ref[:] = datt_acc_ref[:].astype(datt_ref.dtype)
+
+
+def _grid_spec(tables: RowTables, d: int, heads: int, extra_in, out_specs,
+               scratch):
+    ec, rb = tables.edge_chunk, tables.row_block
+    in_specs = [
+        pl.BlockSpec((1, 2, rb), lambda w, b, c, fl: (b[w], 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((rb, d), lambda w, b, c, fl: (b[w], 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((ec, d), lambda w, b, c, fl: (c[w], 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, d), lambda w, b, c, fl: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((d, heads), lambda w, b, c, fl: (0, 0),
+                     memory_space=pltpu.VMEM),
+    ] + extra_in
+    return pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(tables.num_work,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        scratch_shapes=scratch,
+    )
+
+
+def _pad_rows(rows, tables):
+    n_pad = tables.bounds.shape[0] * tables.row_block
+    if rows.shape[0] != n_pad:
+        rows = jnp.pad(rows, ((0, n_pad - rows.shape[0]), (0, 0)))
+    return rows
+
+
+def sddmm_scores_sorted(
+    rows: jax.Array,  # [N, D] transformed node features (ht)
+    hj: jax.Array,  # [E, D] gathered sender rows (receiver-sorted order)
+    att: jax.Array,  # [H, F]
+    *,
+    tables: RowTables,
+    negative_slope: float = 0.2,
+    precision=None,
+) -> jax.Array:
+    """Fused GATv2 scores over receiver-sorted edges -> ``[E, H]`` f32."""
+    e, d = hj.shape
+    heads = att.shape[0]
+    ec = tables.edge_chunk
+    e_pad = ((e + ec - 1) // ec) * ec
+    hj_p = jnp.pad(hj, ((0, e_pad - e), (0, 0)))
+    rows = _pad_rows(rows, tables)
+    att_flat = att.reshape(1, d)
+    sel = head_selector(heads, d // heads)
+    if precision is None:
+        precision = (
+            "split2" if rows.dtype == jnp.float32
+            else jax.lax.Precision.DEFAULT
+        )
+    grid_spec = _grid_spec(
+        tables, d, heads, [],
+        pl.BlockSpec((ec, heads), lambda w, b, c, fl: (c[w], 0),
+                     memory_space=pltpu.VMEM),
+        [pltpu.VMEM((ec, d), jnp.float32)],
+    )
+    out = pl.pallas_call(
+        functools.partial(
+            _sddmm_fwd_kernel, edge_chunk=ec,
+            negative_slope=float(negative_slope), precision=precision,
+        ),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((e_pad, heads), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * tables.num_work * ec
+            * (tables.row_block + heads) * d,
+            bytes_accessed=tables.num_work
+            * (ec + tables.row_block) * d * rows.dtype.itemsize,
+            transcendentals=0,
+        ),
+    )(
+        jnp.asarray(tables.work_block),
+        jnp.asarray(tables.work_chunk),
+        jnp.asarray(tables.work_cfirst),
+        jnp.asarray(tables.bounds),
+        rows,
+        hj_p,
+        att_flat,
+        sel,
+    )
+    return out[:e]
+
+
+def sddmm_bwd_sorted(
+    rows: jax.Array,
+    hj: jax.Array,
+    att: jax.Array,
+    dscores: jax.Array,  # [E, H]
+    *,
+    tables: RowTables,
+    negative_slope: float = 0.2,
+    precision=None,
+) -> tuple[jax.Array, jax.Array]:
+    """Backward of :func:`sddmm_scores_sorted` wrt the pre-activation and
+    attention vector: returns ``(d_pre [E, D], datt [H, F])``.
+
+    ``d_pre`` is the cotangent of BOTH endpoints' rows (``pre = hi + hj``):
+    the caller adds it to d hj and scatters it by receivers for d ht.
+    """
+    e, d = hj.shape
+    heads = att.shape[0]
+    ec = tables.edge_chunk
+    e_pad = ((e + ec - 1) // ec) * ec
+    hj_p = jnp.pad(hj, ((0, e_pad - e), (0, 0)))
+    ds_p = jnp.pad(dscores, ((0, e_pad - e), (0, 0)))
+    rows = _pad_rows(rows, tables)
+    att_flat = att.reshape(1, d)
+    sel = head_selector(heads, d // heads)
+    selt = sel.T  # [H, D]
+    if precision is None:
+        precision = (
+            "split2" if rows.dtype == jnp.float32
+            else jax.lax.Precision.DEFAULT
+        )
+    extra_in = [
+        pl.BlockSpec((heads, d), lambda w, b, c, fl: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((ec, heads), lambda w, b, c, fl: (c[w], 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    out_specs = [
+        pl.BlockSpec((ec, d), lambda w, b, c, fl: (c[w], 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, d), lambda w, b, c, fl: (0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    grid_spec = _grid_spec(
+        tables, d, heads, extra_in, out_specs,
+        [
+            pltpu.VMEM((ec, d), jnp.float32),
+            pltpu.VMEM((1, d), jnp.float32),
+        ],
+    )
+    dpre, datt = pl.pallas_call(
+        functools.partial(
+            _sddmm_bwd_kernel, edge_chunk=ec,
+            negative_slope=float(negative_slope), precision=precision,
+        ),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((e_pad, d), hj.dtype),
+            jax.ShapeDtypeStruct((1, d), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=4 * tables.num_work * ec
+            * (tables.row_block + heads) * d,
+            bytes_accessed=2 * tables.num_work
+            * (ec + tables.row_block) * d * rows.dtype.itemsize,
+            transcendentals=0,
+        ),
+    )(
+        jnp.asarray(tables.work_block),
+        jnp.asarray(tables.work_chunk),
+        jnp.asarray(tables.work_cfirst),
+        jnp.asarray(tables.bounds),
+        rows,
+        hj_p,
+        att_flat,
+        sel,
+        selt,
+        ds_p,
+    )
+    return dpre[:e], datt.reshape(heads, d // heads).astype(att.dtype)

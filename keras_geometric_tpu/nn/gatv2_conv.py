@@ -52,6 +52,13 @@ class GATv2Conv(Module):
     kernel_initializer: str = "glorot_uniform"
     bias_initializer: str = "zeros"
     att_initializer: str = "glorot_uniform"
+    # Context-path strategy: the fused attend custom VJP is kernel-
+    # complete (Pallas SDDMM scores + fused stats + one-pass alpha/
+    # broadcast/message/scatter fwd; two-pass kernel backward) — measured
+    # 73 vs 93 ms fwd+bwd for the composed path at ogbn-arxiv scale
+    # (benchmarks/gatv2_probe.py; the r1 XLA-elementwise attend was 140).
+    # False selects the composed edge_softmax path (also kernelized).
+    fused_attend: bool = True
 
     def init(self, rng: jax.Array, input_dim: int, dtype=jnp.float32) -> dict:
         k_kernel, k_att, k_bias = jax.random.split(rng, 3)
@@ -173,7 +180,7 @@ class GATv2Conv(Module):
         n = x.shape[0]
         h, f = self.heads, self.output_dim
         ht = x @ params["kernel"]  # [N, H*F]
-        if not return_attention:
+        if self.fused_attend and not return_attention:
             # Fused attend op (ops/csr.py::GraphContext.attend): one
             # custom-VJP covering score -> softmax -> weighted aggregate,
             # whose backward never permutes an [E, H*F] edge array.
@@ -201,17 +208,23 @@ class GATv2Conv(Module):
             if self.use_bias:
                 out = out + params["bias"]
             return out
-        h_j = context.gather(ht).reshape(-1, h, f)
-        h_i = context.gather_receivers(ht).reshape(-1, h, f)
-
-        z = jax.nn.leaky_relu(h_i + h_j, negative_slope=self.negative_slope)
-        scores = jnp.sum(z * params["att"], axis=-1)  # [E, H]
-        # Kernelized per-receiver softmax (segment-max + scatter + expand
-        # Pallas kernels; ~30 ms -> ~1 ms at arxiv scale vs XLA segment
-        # ops on [E, heads] data).
+        h_j = context.gather(ht)  # [E, H*F]
+        # Fused Pallas SDDMM (fwd + bwd kernels): receiver-row expand +
+        # add + leaky_relu + attention product + per-head reduction in
+        # one op — the XLA elementwise chain over [E, H, F] costs ~18 ms
+        # at arxiv scale (kernels/sddmm_pallas.py).
+        scores = context.sddmm_scores(
+            ht, h_j, params["att"].reshape(h, f),
+            negative_slope=self.negative_slope,
+        )
+        # Kernelized per-receiver softmax (fused two-pass Pallas; ~30 ms
+        # -> ~14 ms at arxiv scale vs XLA segment ops on [E, heads]).
         alpha = context.edge_softmax(scores, eps=1e-10)
         alpha = dropout(rng, alpha, self.dropout, training)
-        messages = (alpha[:, :, None] * h_j).reshape(-1, h * f)
+        h_j = h_j.reshape(-1, h, f)
+        messages = (
+            alpha[:, :, None].astype(h_j.dtype) * h_j
+        ).reshape(-1, h * f)
         # alpha is already zero on padded slots (masked softmax).
         agg = context.scatter(messages).reshape(n, h, f)
         out = agg.reshape(n, h * f) if self.concat else jnp.mean(agg, axis=1)

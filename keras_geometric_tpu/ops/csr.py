@@ -24,7 +24,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..kernels import softmax_pallas, spmm_pallas
+from ..kernels import attend_pallas, sddmm_pallas, softmax_pallas, spmm_pallas
 from .. import native
 
 __all__ = ["GraphContext", "prepare_graph"]
@@ -163,6 +163,35 @@ class GraphContext(NamedTuple):
             self.expand_tables or self.fwd_tables,
             self.num_nodes,
             eps,
+        )
+
+    def sddmm_scores(
+        self,
+        ht: jax.Array,
+        hj: jax.Array,
+        att: jax.Array,
+        *,
+        negative_slope: float = 0.2,
+    ) -> jax.Array:
+        """Fused GATv2 attention scores ``[E, H]`` (f32) with a Pallas
+        forward AND backward (kernels/sddmm_pallas.py).
+
+        Replaces the XLA elementwise chain over ``[E, H, F]``
+        (gatv2_conv.py:268-284 semantics) — measured ~18 ms at arxiv
+        scale vs ~3 ms fused. ``hj`` must be the receiver-sorted gathered
+        sender rows (``self.gather(ht)``); its cotangent flows back
+        through the caller's gather. Padded edge slots return garbage —
+        mask downstream (edge_softmax does).
+        """
+        return _sddmm(
+            ht,
+            hj,
+            att,
+            (self.receivers,),
+            self.expand_tables or self.fwd_tables,
+            self.fwd_tables,
+            self.num_nodes,
+            float(negative_slope),
         )
 
     def attend(
@@ -323,34 +352,63 @@ def _edge_softmax_bwd(fwd_tables, exp_tables, num_nodes, eps, res, dalpha):
 _edge_softmax.defvjp(_edge_softmax_fwd, _edge_softmax_bwd)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
+def _sddmm(ht, hj, att, aux, exp_tables, fwd_tables, num_nodes, slope):
+    del aux
+    return sddmm_pallas.sddmm_scores_sorted(
+        ht, hj, att, tables=exp_tables, negative_slope=slope
+    )
+
+
+def _sddmm_fwd(ht, hj, att, aux, exp_tables, fwd_tables, num_nodes, slope):
+    out = _sddmm(ht, hj, att, aux, exp_tables, fwd_tables, num_nodes, slope)
+    return out, (ht, hj, att, aux)
+
+
+def _sddmm_bwd(exp_tables, fwd_tables, num_nodes, slope, res, g):
+    ht, hj, att, aux = res
+    (receivers,) = aux
+    # d_pre is the cotangent of BOTH endpoints (pre = hi + hj): the
+    # receiver side scatters by the already-sorted receivers; the sender
+    # side returns as d hj and flows through the caller's gather VJP.
+    d_pre, datt = sddmm_pallas.sddmm_bwd_sorted(
+        ht, hj, att, g, tables=exp_tables, negative_slope=slope
+    )
+    dht = spmm_pallas.scatter_sum_sorted(
+        d_pre, receivers, num_nodes, tables=fwd_tables
+    ).astype(ht.dtype)
+    return dht, d_pre.astype(hj.dtype), datt, None
+
+
+_sddmm.defvjp(_sddmm_fwd, _sddmm_bwd)
+
+
 def _attend_fwd_compute(ht, att, arrays, fwd_tables, exp_tables, num_nodes,
                         heads, negative_slope, eps):
+    """Kernel-complete fused attention forward: random gather + Pallas
+    SDDMM scores + fused two-pass softmax stats + one-pass
+    alpha/broadcast/message/scatter (kernels/attend_pallas.py). alpha is
+    never materialized to HBM."""
     senders, receivers, edge_mask, _perm, _ss, _rss, drop_mask = arrays
-    e = senders.shape[0]
     f = att.shape[-1]
     hj = jnp.take(ht, senders, axis=0)  # [E, H*F] random gather
-    hi = spmm_pallas.expand_sorted(ht, receivers, tables=exp_tables)
-    pre = (hi + hj).reshape(e, heads, f)
-    z = jnp.where(pre > 0, pre, negative_slope * pre)
-    scores = jnp.sum(z * att[None].astype(z.dtype), axis=-1)  # [E, H]
+    scores = sddmm_pallas.sddmm_scores_sorted(
+        ht, hj, att.reshape(heads, f), tables=exp_tables,
+        negative_slope=negative_slope,
+    )
     if edge_mask is not None:
+        # Padded edge slots sit INSIDE the last row's intervals (they
+        # point at the last node), so they must be -inf'd before stats.
         scores = jnp.where(
             edge_mask[:, None], scores, jnp.full_like(scores, -jnp.inf)
         )
     m, l = softmax_pallas.softmax_stats_sorted(
         scores, num_nodes, tables=fwd_tables
     )
-    alpha = softmax_pallas.softmax_apply_sorted(
-        scores, m, l, tables=exp_tables, eps=eps, out_dtype=scores.dtype
-    )
-    alpha_d = alpha if drop_mask is None else alpha * drop_mask
-    out = spmm_pallas.scatter_sum_sorted(
-        (alpha_d[:, :, None] * hj.reshape(e, heads, f)).reshape(e, heads * f),
-        receivers,
-        num_nodes,
-        tables=fwd_tables,
-    )
-    return out, (hj, pre, alpha)
+    out = attend_pallas.attend_aggregate_sorted(
+        scores, m, l, hj, tables=fwd_tables, eps=eps, drop_mask=drop_mask,
+    )[:num_nodes]
+    return out, (hj, scores, m, l)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8, 9))
@@ -365,71 +423,52 @@ def _gatv2_attend(ht, att, arrays, fwd_tables, exp_tables, bwd_tables,
 
 def _gatv2_attend_fwd(ht, att, arrays, fwd_tables, exp_tables, bwd_tables,
                       num_nodes, heads, negative_slope, eps):
-    out, (hj, pre, alpha) = _attend_fwd_compute(
+    out, (hj, scores, m, l) = _attend_fwd_compute(
         ht, att, arrays, fwd_tables, exp_tables, num_nodes, heads,
         negative_slope, eps,
     )
-    return out, (ht, att, arrays, hj, pre, alpha)
+    return out, (ht, att, arrays, hj, scores, m, l)
 
 
 def _gatv2_attend_bwd(fwd_tables, exp_tables, bwd_tables, num_nodes, heads,
                       negative_slope, eps, res, g):
-    ht, att, arrays, hj, pre, alpha = res
-    _senders, receivers, _mask, perm, senders_sorted, receivers_ss, \
-        drop_mask = arrays
-    e = hj.shape[0]
-    f = att.shape[-1]
-    attc = att[None].astype(g.dtype)
-    drop = drop_mask is not None
-    alpha_d = alpha * drop_mask if drop else alpha
+    """Kernel-complete backward (kernels/attend_pallas.py):
 
-    # Aggregation branch: d_msg = g[receivers] (sorted expand, no permute).
-    ge = spmm_pallas.expand_sorted(g, receivers, tables=exp_tables)
-    geh = ge.reshape(e, heads, f)
-    dalpha = jnp.sum(geh * hj.reshape(e, heads, f), axis=-1)  # [E, H]
-    if drop:
-        dalpha = dalpha * drop_mask
-    # Exact softmax Jacobian: ds = α(dα - Σ_recv α dα). Padded slots have
-    # α = 0, so ds vanishes there and every term below is pad-neutral.
-    prodv = alpha * dalpha
-    rho = spmm_pallas.scatter_sum_sorted(
-        prodv, receivers, num_nodes, tables=fwd_tables
+    1. aggregation branch: d_alpha, d_hj_agg and the softmax-Jacobian row
+       term rho in ONE expand-grid pass (alpha recomputed in-register);
+    2. score branch: ds = alpha (d_alpha - rho_e), d_pre = (ds S^T) att
+       leaky'(pre) and datt in a second pass;
+    3. d ht = scatter(d_pre) [receiver side] + sorted-scatter of the
+       permuted total sender cotangent (d_hj_agg + d_pre — pre is
+       symmetric in its endpoints).
+    """
+    ht, att, arrays, hj, scores, m, l = res
+    _senders, receivers, _mask, perm, senders_sorted, _rss, \
+        drop_mask = arrays
+    f = att.shape[-1]
+    att_hf = att.reshape(heads, f)
+
+    d_alpha, d_hj_agg, rho = attend_pallas.attend_agg_bwd_sorted(
+        g, scores, m, l, hj, tables=fwd_tables, eps=eps,
+        drop_mask=drop_mask,
     )
-    dscores = prodv - alpha * spmm_pallas.expand_sorted(
-        rho, receivers, tables=exp_tables
+    d_pre, datt = attend_pallas.attend_score_bwd_sorted(
+        ht, hj, att_hf, scores, m, l, rho, d_alpha,
+        tables=exp_tables, eps=eps, negative_slope=negative_slope,
     )
-    # Score branch, receiver side (h_i): cotangent in receiver order,
-    # scattered with the already-sorted receivers.
-    lmask = jnp.where(pre > 0, 1.0, negative_slope).astype(g.dtype)
-    dpre_r = dscores[:, :, None] * attc * lmask  # [E, H, F]
+    # Receiver side of the score branch (pre = hi + hj is endpoint-
+    # symmetric, so d_pre is the cotangent of BOTH sides).
     dht = spmm_pallas.scatter_sum_sorted(
-        dpre_r.reshape(e, heads * f), receivers, num_nodes, tables=fwd_tables
+        d_pre, receivers, num_nodes, tables=fwd_tables
     )
-    # datt = Σ_e dscores ⊗ z (recompute z from the saved pre-activation).
-    z = jnp.where(pre > 0, pre, negative_slope * pre).astype(g.dtype)
-    datt = jnp.einsum("eh,ehf->hf", dscores, z).astype(att.dtype)
-    # Sender side (h_j gets cotangent from BOTH branches): build it
-    # directly in sender-sorted order — [E, H] permutes are cheap, the
-    # [E, H*F] pieces come from node-array gathers and a sorted expand.
-    alpha_d_ss = jnp.take(alpha_d, perm, axis=0)
-    dscores_ss = jnp.take(dscores, perm, axis=0)
-    g_ss = jnp.take(g, receivers_ss, axis=0).reshape(e, heads, f)
-    pre_ss = (
-        jnp.take(ht, receivers_ss, axis=0)
-        + spmm_pallas.expand_sorted(ht, senders_sorted, tables=bwd_tables)
-    ).reshape(e, heads, f)
-    lmask_ss = jnp.where(pre_ss > 0, 1.0, negative_slope).astype(g.dtype)
-    d_hj_ss = (
-        alpha_d_ss[:, :, None] * g_ss
-        + dscores_ss[:, :, None] * attc * lmask_ss
-    )
+    d_hj_total = d_hj_agg + d_pre
     dht = dht + spmm_pallas.scatter_sum_sorted(
-        d_hj_ss.reshape(e, heads * f),
+        jnp.take(d_hj_total, perm, axis=0),
         senders_sorted,
         num_nodes,
         tables=bwd_tables,
     )
-    return dht, datt, None
+    return dht.astype(ht.dtype), datt.reshape(att.shape), None
 
 
 _gatv2_attend.defvjp(_gatv2_attend_fwd, _gatv2_attend_bwd)

@@ -60,9 +60,9 @@ def build_halo_plan(pg: PartitionedGraph, *, halo_multiple: int = 8) -> HaloPlan
     # id list, so searchsorted on the L-grid segments it).
     uniq: list[np.ndarray] = []
     bounds: list[np.ndarray] = []
-    owner_grid = np.arange(P + 1, dtype=np.int64) * L
+    owner_grid = (np.arange(P + 1, dtype=np.int64) * L).astype(np.int32)
     for p in range(P):
-        senders = pg.senders_global[p][pg.edge_mask[p]].astype(np.int64)
+        senders = pg.senders_global[p][pg.edge_mask[p]]  # int32
         remote = senders[(senders // L) != p]
         u = np.unique(remote)
         uniq.append(u)
@@ -88,7 +88,7 @@ def build_halo_plan(pg: PartitionedGraph, *, halo_multiple: int = 8) -> HaloPlan
     # [own rows | halo slot (owner q, rank within need[p][q])].
     senders_local = np.zeros_like(pg.senders_global)
     for p in range(P):
-        s = pg.senders_global[p].astype(np.int64)
+        s = pg.senders_global[p]  # int32; halo slot ids fit int32 too
         owners = s // L
         local = owners == p
         out = np.where(local, s - p * L, 0)

@@ -160,7 +160,7 @@ def build_kernel_plan(
     )
     for p in range(P):
         mask = pg.edge_mask[p]
-        owners = pg.senders_global[p].astype(np.int64) // L
+        owners = pg.senders_global[p] // L  # int32
         local = mask & (owners == p)
         remote = mask & (owners != p)
         # Boolean selection preserves the receiver-sorted order.

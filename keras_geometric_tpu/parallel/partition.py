@@ -78,11 +78,13 @@ def partition_graph(
     edge_index = np.asarray(edge_index)
     if edge_index.shape[0] != 2:
         edge_index = edge_index.T
-    senders = edge_index[0].astype(np.int64)
-    receivers = edge_index[1].astype(np.int64)
+    # int32 throughout: node ids fit, and int64 passes over 100M+-edge
+    # arrays dominated host preprocessing time at ogbn-products scale.
+    senders = np.ascontiguousarray(edge_index[0], np.int32)
+    receivers = np.ascontiguousarray(edge_index[1], np.int32)
 
     if add_self_loops:
-        loops = np.arange(num_nodes, dtype=np.int64)
+        loops = np.arange(num_nodes, dtype=np.int32)
         senders = np.concatenate([senders, loops])
         receivers = np.concatenate([receivers, loops])
         if edge_weight is not None:
@@ -93,10 +95,15 @@ def partition_graph(
     num_edges = senders.shape[0]
 
     if gcn_normalize:
-        deg = np.bincount(receivers, minlength=num_nodes).astype(np.float64)
-        inv_sqrt = np.power(deg + 1e-12, -0.5)
-        inv_sqrt[np.isinf(inv_sqrt)] = 0.0
-        norm = (inv_sqrt[receivers] * inv_sqrt[senders]).astype(np.float32)
+        from .. import native
+
+        # Native C++ routine (same reference-exact semantics as
+        # ops.graph_ops.gcn_norm: receiver in-degree, (d+1e-12)^-1/2,
+        # inf -> 0) — the numpy float64 path cost ~29 s at products scale.
+        norm = np.asarray(
+            native.gcn_norm_weights(senders, receivers, num_nodes),
+            np.float32,
+        )
         edge_weight = norm if edge_weight is None else edge_weight * norm
 
     nodes_per_part = round_up(max(num_nodes, 1), num_parts) // num_parts
@@ -107,12 +114,10 @@ def partition_graph(
     # round 1 was O(P·E log E) host time at ogbn-products scale.
     from .. import native
 
-    perm = native.coo_to_csr_perm(
-        receivers.astype(np.int32), num_nodes
-    )[0]
+    perm = native.coo_to_csr_perm(receivers, num_nodes)[0].astype(np.int32)
     s_sorted = senders[perm]
     r_sorted = receivers[perm]
-    ids_sorted = np.arange(num_edges, dtype=np.int32)[perm]
+    ids_sorted = perm  # arange(E)[perm] == perm
     w_sorted = (
         np.asarray(edge_weight, np.float32)[perm]
         if edge_weight is not None

@@ -120,12 +120,15 @@ class TestGATv2:
         out_plain = layer_plain.apply(params, x, jnp.asarray(ei))
         np.testing.assert_allclose(out_ctx, out_plain, rtol=1e-4, atol=1e-4)
 
-    def test_context_param_gradients_match_plain(self, case, rng):
-        """Grad parity of the whole context path (fused attend custom VJP)
-        vs the plain XLA path, wrt every parameter."""
+    @pytest.mark.parametrize("fused", [False, True])
+    def test_context_param_gradients_match_plain(self, case, rng, fused):
+        """Grad parity of the whole context path (composed kernels, and
+        the fused attend custom VJP) vs the plain XLA path, wrt every
+        parameter."""
         n, ei, x, f = case
         ctx = prepare_graph(ei, n, add_self_loops=True)
-        layer_ctx = GATv2Conv(output_dim=6, heads=2, add_self_loops=False)
+        layer_ctx = GATv2Conv(output_dim=6, heads=2, add_self_loops=False,
+                              fused_attend=fused)
         layer_plain = GATv2Conv(output_dim=6, heads=2)
         params = layer_ctx.init(rng, f)
 

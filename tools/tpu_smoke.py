@@ -214,6 +214,17 @@ def build_cases(jnp, K, SM, csr):
         (ht, att),
         None,
     ))
+    for dt, dname in ((jnp.bfloat16, "bf16"), (jnp.float32, "f32")):
+        htx, attx = ht.astype(dt), att.astype(dt)
+        cases.append((
+            f"sddmm/{dname}/fwd+bwd",
+            (lambda h, a, htx=htx: jax.grad(
+                lambda hh, aa: jnp.sum(ctx_dir.sddmm_scores(
+                    hh, ctx_dir.gather(hh), aa) ** 2),
+                argnums=(0, 1))(h, a)),
+            (htx, attx),
+            None,
+        ))
     return cases
 
 
