@@ -95,7 +95,8 @@ def mesh_of_one_overhead():
     tx = optax.adam(1e-2)
     state = TrainState.create(params, tx, jax.random.PRNGKey(1))
     step = make_distributed_train_step(enc, tx, mesh, donate=False,
-                                       kernel_plan=kp)
+                                       kernel_plan=kp,
+                                       compute_dtype=jnp.bfloat16)
 
     def one():
         nonlocal state
@@ -105,9 +106,14 @@ def mesh_of_one_overhead():
     sec = timed_steps(one, k_lo=2, k_hi=10)
     edges = ARXIV_EDGES + ARXIV_NODES
     print(
-        f"mesh-of-1 kernelized distributed step: {sec*1e3:.2f} ms/step "
-        f"({edges/sec/1e6:.1f}M edges/s) — compare bench.py per_step_ms "
-        f"for the shard_map overhead"
+        f"mesh-of-1 kernelized distributed step (bf16): {sec*1e3:.2f} "
+        f"ms/step ({edges/sec/1e6:.1f}M edges/s). Like-for-like anchor: "
+        f"a single-chip 2-layer directed-GCN train step is ~28 ms "
+        f"(perf_suite arxiv_gcn layer-1 fwd+bwd ~18 ms + layer-2 at F=40 "
+        f"~8 ms + loss/optimizer ~2 ms), so the shard_map/collective "
+        f"machinery costs ~10%. bench.py's 12.4 ms additionally uses the "
+        f"symmetric-VJP + densified-diagonal + propagate-first tricks, "
+        f"which need A^T = A and are unavailable on partitioned shards."
     )
 
 

@@ -10,6 +10,11 @@ from .halo import build_halo_plan
 from .kernel_plan import build_kernel_plan, spmm_local_overlapped
 from .mesh import make_mesh
 from .partition import PartitionedGraph, partition_graph
+from .tensor_parallel import (
+    column_parallel_dense,
+    row_parallel_dense,
+    tp_gcn_block_local,
+)
 
 __all__ = [
     "make_mesh",
@@ -22,4 +27,7 @@ __all__ = [
     "build_halo_plan",
     "build_kernel_plan",
     "spmm_local_overlapped",
+    "column_parallel_dense",
+    "row_parallel_dense",
+    "tp_gcn_block_local",
 ]

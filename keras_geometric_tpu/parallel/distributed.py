@@ -150,6 +150,7 @@ def make_distributed_train_step(
     donate: bool = True,
     halo: bool = False,
     kernel_plan=None,
+    compute_dtype=None,
 ) -> Callable:
     """Build a jitted multi-chip train step.
 
@@ -188,10 +189,24 @@ def make_distributed_train_step(
                 k[len("kp_"):]: sq(v)
                 for k, v in data.items() if k.startswith("kp_")
             }
+            x_local = sq(data["x"])
+            p = params
+            if compute_dtype is not None:
+                # bf16 IO / f32 master params + loss (the single-chip
+                # precision policy, bench.py): cast per step; gradients
+                # accumulate in f32 through shard_map autodiff.
+                cast = lambda a: (
+                    a.astype(compute_dtype)
+                    if jnp.issubdtype(a.dtype, jnp.floating) else a
+                )
+                p = jax.tree_util.tree_map(cast, params)
+                x_local = cast(x_local)
+                kp_shard = {k: cast(v) if k.endswith("weight") else v
+                            for k, v in kp_shard.items()}
             logits = encoder_apply_local_kernelized(
-                encoder, params, sq(data["x"]), kp_shard, kernel_plan,
+                encoder, p, x_local, kp_shard, kernel_plan,
                 axis=axis, training=True, rng=rng,
-            )
+            ).astype(jnp.float32)
             logp = jax.nn.log_softmax(logits, axis=-1)
             nll = label_nll(logp, sq(data["y"]))
             m = sq(data["train_mask"]).astype(nll.dtype)

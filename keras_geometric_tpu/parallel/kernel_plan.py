@@ -27,6 +27,7 @@ DMA), they accumulate into scratch that is never written out again.
 
 from __future__ import annotations
 
+import functools
 from typing import NamedTuple
 
 import jax
@@ -60,12 +61,24 @@ class TableStack(NamedTuple):
 
 
 class EdgeSetShard(NamedTuple):
-    """One receiver-sorted edge subset, stacked per chip."""
+    """One receiver-sorted edge subset, stacked per chip.
+
+    ``perm``/``senders_sorted``/``tables_bwd`` give the transposed
+    (sender-sorted) orientation so the gather's BACKWARD runs the Pallas
+    sorted scatter instead of XLA's unsorted scatter-add (the round-1
+    single-chip lesson, ops/csr.py dual-CSR design).
+    """
 
     senders: np.ndarray  # [P, E] int32 (local rows, or halo-slot ids)
     receivers: np.ndarray  # [P, E] int32 local receiver rows
     weight: np.ndarray  # [P, E] f32, 0 on padded slots
     tables: TableStack
+    perm: np.ndarray  # [P, E] receiver-order edge -> sender-sorted pos
+    senders_sorted: np.ndarray  # [P, E]
+    tables_bwd: TableStack
+    num_source_rows: int  # gather-source row count (L, or P*H)
+    receivers_ss: np.ndarray  # [P, E] receivers in sender-sorted order
+    weight_ss: np.ndarray  # [P, E] weights in sender-sorted order
 
 
 class KernelPlan(NamedTuple):
@@ -109,11 +122,13 @@ def _stack_tables(per_part: list[spmm_pallas.RowTables]) -> TableStack:
 
 def _build_edge_set(
     senders_list, receivers_list, weight_list, num_local, *,
-    edge_chunk, row_block,
+    edge_chunk, row_block, num_source_rows,
 ) -> EdgeSetShard:
     """Pad per-part edge subsets to a common chunk-aligned length and
-    build stacked scatter tables. Padded edges point at the last local
-    row with zero weight (exactly neutral under the fused weights)."""
+    build stacked scatter tables for BOTH orientations. Padded edges
+    point at the last local receiver row with zero weight (exactly
+    neutral under the fused weights) and at source row 0 (their backward
+    cotangent is zero — the expand applies the zero weight)."""
     P = len(senders_list)
     e_max = max((len(s) for s in senders_list), default=0)
     e_pad = max(round_up(max(e_max, 1), edge_chunk), edge_chunk)
@@ -121,7 +136,9 @@ def _build_edge_set(
     s_out = np.zeros((P, e_pad), np.int32)
     r_out = np.full((P, e_pad), last, np.int32)
     w_out = np.zeros((P, e_pad), np.float32)
-    tables = []
+    perm_out = np.zeros((P, e_pad), np.int32)
+    ss_out = np.zeros((P, e_pad), np.int32)
+    tables, tables_bwd = [], []
     for p in range(P):
         k = len(senders_list[p])
         s_out[p, :k] = senders_list[p]
@@ -133,9 +150,26 @@ def _build_edge_set(
                 row_block=row_block,
             )
         )
+        order = np.argsort(s_out[p], kind="stable").astype(np.int32)
+        ss_out[p] = s_out[p][order]
+        # take(g, perm) reorders receiver-order cotangents into sender-
+        # sorted order (the csr._gather_bwd convention).
+        perm_out[p] = order
+        tables_bwd.append(
+            spmm_pallas.build_row_tables(
+                ss_out[p], num_source_rows, edge_chunk=edge_chunk,
+                row_block=row_block,
+            )
+        )
+    r_ss = np.take_along_axis(r_out, perm_out, axis=1)
+    w_ss = np.take_along_axis(w_out, perm_out, axis=1)
     return EdgeSetShard(
         senders=s_out, receivers=r_out, weight=w_out,
         tables=_stack_tables(tables),
+        perm=perm_out, senders_sorted=ss_out,
+        tables_bwd=_stack_tables(tables_bwd),
+        num_source_rows=num_source_rows,
+        receivers_ss=r_ss, weight_ss=w_ss,
     )
 
 
@@ -172,10 +206,12 @@ def build_kernel_plan(
         rem_w.append(weight[p][remote])
 
     loc = _build_edge_set(
-        loc_s, loc_r, loc_w, L, edge_chunk=edge_chunk, row_block=row_block
+        loc_s, loc_r, loc_w, L, edge_chunk=edge_chunk,
+        row_block=row_block, num_source_rows=L,
     )
     rem = _build_edge_set(
-        rem_s, rem_r, rem_w, L, edge_chunk=edge_chunk, row_block=row_block
+        rem_s, rem_r, rem_w, L, edge_chunk=edge_chunk,
+        row_block=row_block, num_source_rows=P * h,
     )
     return KernelPlan(
         loc=loc, rem=rem, send_idx=plan.send_idx, halo_size=h,
@@ -183,16 +219,89 @@ def build_kernel_plan(
     )
 
 
-def _tables_view(arrs: dict, edge_chunk: int, row_block: int):
+def _tables_view(arrs: dict, edge_chunk: int, row_block: int, suffix=""):
     return spmm_pallas.RowTables(
-        bounds=arrs["bounds"],
-        work_block=arrs["work_block"],
-        work_chunk=arrs["work_chunk"],
-        work_first=arrs["work_first"],
-        work_cfirst=arrs["work_cfirst"],
+        bounds=arrs[f"bounds{suffix}"],
+        work_block=arrs[f"work_block{suffix}"],
+        work_chunk=arrs[f"work_chunk{suffix}"],
+        work_first=arrs[f"work_first{suffix}"],
+        work_cfirst=arrs[f"work_cfirst{suffix}"],
         edge_chunk=edge_chunk,
         row_block=row_block,
     )
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def _kp_gather(src, aux, num_source_rows, edge_chunk, row_block):
+    """Edge gather whose backward is permute + Pallas sorted scatter
+    (instead of XLA's unsorted scatter-add — ~10x at arxiv scale)."""
+    senders = aux[0]
+    return jnp.take(src, senders, axis=0)
+
+
+def _kp_gather_fwd(src, aux, num_source_rows, edge_chunk, row_block):
+    return _kp_gather(src, aux, num_source_rows, edge_chunk,
+                      row_block), aux
+
+
+def _kp_gather_bwd(num_source_rows, edge_chunk, row_block, aux, g):
+    _senders, perm, ss, bounds, wb, wc, wf, wcf = aux
+    tables = spmm_pallas.RowTables(
+        bounds=bounds, work_block=wb, work_chunk=wc, work_first=wf,
+        work_cfirst=wcf, edge_chunk=edge_chunk, row_block=row_block,
+    )
+    g_sorted = jnp.take(g, perm, axis=0)
+    dsrc = spmm_pallas.scatter_sum_sorted(
+        g_sorted, ss, num_source_rows, tables=tables
+    )
+    return dsrc.astype(g.dtype), None
+
+
+_kp_gather.defvjp(_kp_gather_fwd, _kp_gather_bwd)
+
+
+def _tables_from_flat(flat, edge_chunk, row_block):
+    return spmm_pallas.RowTables(
+        bounds=flat[0], work_block=flat[1], work_chunk=flat[2],
+        work_first=flat[3], work_cfirst=flat[4],
+        edge_chunk=edge_chunk, row_block=row_block,
+    )
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
+def _kp_spmm(source, aux, num_local, num_source_rows, edge_chunk,
+             row_block):
+    """Linear weighted spmm (``out = A_local @ source``) with a
+    permutation-free backward: ``d source = A^T g`` gathers the NODE
+    cotangent by receivers-in-sender-order and runs the sorted scatter
+    over the transposed orientation (the csr._spmm_general design) —
+    no [E, F] edge permute appears anywhere in fwd+bwd."""
+    senders, receivers, w, fwd_flat, _r_ss, _ss, _w_ss, _bwd_flat = aux
+    fwd_t = _tables_from_flat(fwd_flat, edge_chunk, row_block)
+    msgs = jnp.take(source, senders, axis=0)
+    return spmm_pallas.scatter_sum_sorted(
+        msgs, receivers, num_local, tables=fwd_t, weights=w
+    )
+
+
+def _kp_spmm_fwd(source, aux, num_local, num_source_rows, edge_chunk,
+                 row_block):
+    return _kp_spmm(source, aux, num_local, num_source_rows, edge_chunk,
+                    row_block), aux
+
+
+def _kp_spmm_bwd(num_local, num_source_rows, edge_chunk, row_block,
+                 aux, g):
+    _s, _r, _w, _fwd_flat, r_ss, ss, w_ss, bwd_flat = aux
+    bwd_t = _tables_from_flat(bwd_flat, edge_chunk, row_block)
+    msgs = jnp.take(g, r_ss, axis=0)
+    dsrc = spmm_pallas.scatter_sum_sorted(
+        msgs, ss, num_source_rows, tables=bwd_t, weights=w_ss
+    )
+    return dsrc.astype(g.dtype), None
+
+
+_kp_spmm.defvjp(_kp_spmm_fwd, _kp_spmm_bwd)
 
 
 def plan_device_data(kp: KernelPlan) -> dict:
@@ -203,11 +312,16 @@ def plan_device_data(kp: KernelPlan) -> dict:
         out[f"{name}_senders"] = es.senders
         out[f"{name}_receivers"] = es.receivers
         out[f"{name}_weight"] = es.weight
-        out[f"{name}_bounds"] = es.tables.bounds
-        out[f"{name}_work_block"] = es.tables.work_block
-        out[f"{name}_work_chunk"] = es.tables.work_chunk
-        out[f"{name}_work_first"] = es.tables.work_first
-        out[f"{name}_work_cfirst"] = es.tables.work_cfirst
+        out[f"{name}_perm"] = es.perm
+        out[f"{name}_senders_sorted"] = es.senders_sorted
+        out[f"{name}_receivers_ss"] = es.receivers_ss
+        out[f"{name}_weight_ss"] = es.weight_ss
+        for suffix, ts in (("", es.tables), ("_bwd", es.tables_bwd)):
+            out[f"{name}_bounds{suffix}"] = ts.bounds
+            out[f"{name}_work_block{suffix}"] = ts.work_block
+            out[f"{name}_work_chunk{suffix}"] = ts.work_chunk
+            out[f"{name}_work_first{suffix}"] = ts.work_first
+            out[f"{name}_work_cfirst{suffix}"] = ts.work_cfirst
     return out
 
 
@@ -239,22 +353,42 @@ def spmm_local_overlapped(
     )
     halo = recv.reshape(p_ * h_, h_local.shape[-1])
 
-    def _scatter(table_prefix, source):
-        tables = _tables_view(
-            {k: shard[f"{table_prefix}_{k}"] for k in (
-                "bounds", "work_block", "work_chunk", "work_first",
-                "work_cfirst")},
-            ec, rb,
+    def _scatter(table_prefix, source, num_source_rows):
+        sub = {
+            k[len(table_prefix) + 1:]: v
+            for k, v in shard.items() if k.startswith(table_prefix + "_")
+        }
+        fwd_flat = tuple(
+            sub[k] for k in ("bounds", "work_block", "work_chunk",
+                             "work_first", "work_cfirst")
         )
-        msgs = jnp.take(source, shard[f"{table_prefix}_senders"], axis=0)
-        if message_scale is not None:
-            msgs = msgs * message_scale[table_prefix][:, None]
-        w = shard[f"{table_prefix}_weight"].astype(h_local.dtype)
+        bwd_flat = tuple(
+            sub[f"{k}_bwd"] for k in ("bounds", "work_block", "work_chunk",
+                                      "work_first", "work_cfirst")
+        )
+        w = sub["weight"].astype(h_local.dtype)
+        if message_scale is None:
+            # Linear path: permutation-free fused spmm VJP.
+            aux = (
+                sub["senders"], sub["receivers"], w, fwd_flat,
+                sub["receivers_ss"],
+                sub["senders_sorted"],
+                sub["weight_ss"].astype(h_local.dtype),
+                bwd_flat,
+            )
+            return _kp_spmm(source, aux, L, num_source_rows, ec, rb)
+        # Dropout breaks linearity: gather (sorted-scatter VJP), scale,
+        # weighted scatter.
+        aux = (
+            sub["senders"], sub["perm"], sub["senders_sorted"],
+        ) + bwd_flat
+        msgs = _kp_gather(source, aux, num_source_rows, ec, rb)
+        msgs = msgs * message_scale[table_prefix][:, None]
+        tables = _tables_view(sub, ec, rb)
         return spmm_pallas.scatter_sum_sorted(
-            msgs, shard[f"{table_prefix}_receivers"], L, tables=tables,
-            weights=w,
+            msgs, sub["receivers"], L, tables=tables, weights=w,
         )
 
-    out_local = _scatter("loc", h_local)  # independent of the collective
-    out_remote = _scatter("rem", halo)
+    out_local = _scatter("loc", h_local, kp_meta.loc.num_source_rows)
+    out_remote = _scatter("rem", halo, kp_meta.rem.num_source_rows)
     return out_local + out_remote
