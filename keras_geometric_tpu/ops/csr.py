@@ -73,6 +73,10 @@ class GraphContext(NamedTuple):
     # whose reference semantics ignore edge weights (GIN/SAGE) may then
     # route sum/mean aggregation through spmm()/spmm_mean().
     has_unit_weights: bool = False
+    # Static edge-validity in SENDER-sorted order (1.0 real / 0.0 padded):
+    # the permutation-free attend backward folds this into the sender
+    # kernel's interval indicator. None when no padded slots exist.
+    edge_mask_ss: jax.Array | None = None
 
     @property
     def num_edges(self) -> int:
@@ -213,12 +217,13 @@ class GraphContext(NamedTuple):
         ``[H, F]``, output ``[N, H·F]``.
 
         The hand-written backward never permutes an ``[E, H·F]`` edge
-        array (XLA's random row permutation costs ~18 ms at ogbn-arxiv
+        array (XLA's random row permutation costs ~15.5 ms at ogbn-arxiv
         scale). The sender-side cotangent is built DIRECTLY in
-        sender-sorted order: ``[E, H]`` score/α rows are permuted (cheap),
-        node arrays are gathered by ``receivers_ss`` / expanded along
-        ``senders_sorted``, and the pre-activation is recomputed in that
-        order instead of reordered.
+        sender-sorted order (kernels/attend_pallas.attend_sender_bwd_
+        sorted): node-side values arrive via ONE concatenated-table
+        gather by ``receivers_ss`` and everything per-edge (scores, α,
+        softmax Jacobian, d_pre) is recomputed in-register on the
+        sender-sorted scatter grid.
         """
         h = int(att.shape[0])
         return _gatv2_attend(
@@ -232,6 +237,7 @@ class GraphContext(NamedTuple):
                 self.senders_sorted,
                 self.receivers_ss,
                 drop_mask,
+                self.edge_mask_ss,
             ),
             self.fwd_tables,
             self.expand_tables or self.fwd_tables,
@@ -389,7 +395,8 @@ def _attend_fwd_compute(ht, att, arrays, fwd_tables, exp_tables, num_nodes,
     SDDMM scores + fused two-pass softmax stats + one-pass
     alpha/broadcast/message/scatter (kernels/attend_pallas.py). alpha is
     never materialized to HBM."""
-    senders, receivers, edge_mask, _perm, _ss, _rss, drop_mask = arrays
+    senders, receivers, edge_mask, _perm, _ss, _rss, drop_mask, \
+        _mask_ss = arrays
     f = att.shape[-1]
     hj = jnp.take(ht, senders, axis=0)  # [E, H*F] random gather
     scores = sddmm_pallas.sddmm_scores_sorted(
@@ -432,42 +439,81 @@ def _gatv2_attend_fwd(ht, att, arrays, fwd_tables, exp_tables, bwd_tables,
 
 def _gatv2_attend_bwd(fwd_tables, exp_tables, bwd_tables, num_nodes, heads,
                       negative_slope, eps, res, g):
-    """Kernel-complete backward (kernels/attend_pallas.py):
+    """Permutation-free kernel-complete backward (three Pallas passes,
+    kernels/attend_pallas.py; no [E, D] array ever changes edge order):
 
-    1. aggregation branch: d_alpha, d_hj_agg and the softmax-Jacobian row
-       term rho in ONE expand-grid pass (alpha recomputed in-register);
-    2. score branch: ds = alpha (d_alpha - rho_e), d_pre = (ds S^T) att
-       leaky'(pre) and datt in a second pass;
-    3. d ht = scatter(d_pre) [receiver side] + sorted-scatter of the
-       permuted total sender cotangent (d_hj_agg + d_pre — pre is
-       symmetric in its endpoints).
+    1. ``attend_alpha_bwd_sorted`` (receiver grid): d_alpha and the
+       softmax-Jacobian row term rho — the wide aggregation-branch d_hj
+       is NOT written (recomputed in pass 3);
+    2. ``attend_recv_bwd_sorted`` (receiver grid): ds = alpha (d_alpha -
+       rho_e), d_pre = (ds S^T) att leaky'(pre) formed in-register and
+       scattered straight into d ht (d_pre never hits HBM); emits datt;
+    3. ``attend_sender_bwd_sorted`` (sender grid): the total sender
+       cotangent alpha_keep*g[recv] + d_pre recomputed in-register from
+       THREE separate ≤256-lane node-table gathers by receivers-in-
+       sender-order (g, ht, and a 128-lane packed m|l|rho sidecar) —
+       XLA's random gather has a width cliff above 256 lanes (see
+       kernels/attend_pallas.pack_node_sidecar); padded slots are
+       neutralized by a static mask folded into the interval indicator.
+
+    When training with attention dropout the sender pass additionally
+    needs the keep mask in sender order — one narrow [E, H] reorder
+    (~8 ms at arxiv scale; still far below the ~15.5 ms [E, H·F] permute
+    this path replaces). Falls back to the permute+scatter backward when
+    ``receivers_ss`` is absent.
     """
     ht, att, arrays, hj, scores, m, l = res
-    _senders, receivers, _mask, perm, senders_sorted, _rss, \
-        drop_mask = arrays
+    _senders, receivers, _mask, perm, senders_sorted, rss, \
+        drop_mask, mask_ss = arrays
     f = att.shape[-1]
     att_hf = att.reshape(heads, f)
 
-    d_alpha, d_hj_agg, rho = attend_pallas.attend_agg_bwd_sorted(
+    d_alpha, rho = attend_pallas.attend_alpha_bwd_sorted(
         g, scores, m, l, hj, tables=fwd_tables, eps=eps,
         drop_mask=drop_mask,
     )
-    d_pre, datt = attend_pallas.attend_score_bwd_sorted(
+    dht, datt = attend_pallas.attend_recv_bwd_sorted(
         ht, hj, att_hf, scores, m, l, rho, d_alpha,
-        tables=exp_tables, eps=eps, negative_slope=negative_slope,
+        tables=fwd_tables, eps=eps, negative_slope=negative_slope,
     )
-    # Receiver side of the score branch (pre = hi + hj is endpoint-
-    # symmetric, so d_pre is the cotangent of BOTH sides).
-    dht = spmm_pallas.scatter_sum_sorted(
-        d_pre, receivers, num_nodes, tables=fwd_tables
+    dht = dht[: ht.shape[0]]
+
+    if rss is None:
+        # Fallback: permute the total edge cotangent into sender order.
+        d_pre, _ = attend_pallas.attend_score_bwd_sorted(
+            ht, hj, att_hf, scores, m, l, rho, d_alpha,
+            tables=exp_tables, eps=eps, negative_slope=negative_slope,
+        )
+        alpha = jnp.exp(scores - m[receivers]) / (l[receivers] + eps)
+        if drop_mask is not None:
+            alpha = alpha * drop_mask
+        d_hj_agg = (
+            jnp.repeat(alpha.astype(jnp.float32), f, axis=1)
+            * jnp.take(g, receivers, axis=0).astype(jnp.float32)
+        ).astype(hj.dtype)
+        dht = dht + spmm_pallas.scatter_sum_sorted(
+            jnp.take(d_hj_agg + d_pre, perm, axis=0),
+            senders_sorted,
+            num_nodes,
+            tables=bwd_tables,
+        )
+        return dht.astype(ht.dtype), datt.reshape(att.shape), None
+
+    tail, packed = attend_pallas.pack_node_sidecar(
+        m, l, rho, num_nodes, ht.dtype
     )
-    d_hj_total = d_hj_agg + d_pre
-    dht = dht + spmm_pallas.scatter_sum_sorted(
-        jnp.take(d_hj_total, perm, axis=0),
-        senders_sorted,
-        num_nodes,
-        tables=bwd_tables,
+    g_ss = jnp.take(g.astype(ht.dtype), rss, axis=0)
+    ht_ss = jnp.take(ht, rss, axis=0)
+    tail_ss = jnp.take(tail, rss, axis=0)
+    drop_ss = (
+        None if drop_mask is None else jnp.take(drop_mask, perm, axis=0)
     )
+    dht_send = attend_pallas.attend_sender_bwd_sorted(
+        ht, g_ss, ht_ss, tail_ss, att_hf, tables=bwd_tables,
+        packed=packed, eps=eps, negative_slope=negative_slope,
+        mask_ss=mask_ss, drop_ss=drop_ss,
+    )
+    dht = dht + dht_send[: ht.shape[0]]
     return dht.astype(ht.dtype), datt.reshape(att.shape), None
 
 
@@ -709,4 +755,8 @@ def prepare_graph(
         receivers_ss=jnp.asarray(receivers_ss),
         edge_weight_ss=jnp.asarray(weight_ss),
         has_unit_weights=(not gcn_normalize) and edge_weight is None,
+        edge_mask_ss=(
+            None if pad == 0
+            else jnp.asarray((perm_s < e_real).astype(np.float32))
+        ),
     )

@@ -206,11 +206,27 @@ def build_cases(jnp, K, SM, csr):
     att = jnp.asarray(
         np.random.default_rng(10).standard_normal((4, 64)), jnp.bfloat16
     )
+    drop = jnp.asarray(
+        (np.random.default_rng(11).random(
+            (int(ctx_dir.senders.shape[0]), 4)) < 0.7) / 0.7,
+        jnp.float32,
+    )
+    for dt, dname in ((jnp.bfloat16, "bf16"), (jnp.float32, "f32")):
+        hta, atta = ht.astype(dt), att.astype(dt)
+        cases.append((
+            f"attend/{dname}/fwd+bwd",
+            (lambda h, a, _d=dt: jax.grad(
+                lambda hh: jnp.sum(
+                    ctx_dir.attend(hh, a).astype(jnp.float32) ** 2))(h)),
+            (hta, atta),
+            None,
+        ))
     cases.append((
-        "attend/bf16/fwd+bwd",
+        "attend/bf16/dropout/fwd+bwd",
         (lambda h, a: jax.grad(
             lambda hh: jnp.sum(
-                ctx_dir.attend(hh, a).astype(jnp.float32) ** 2))(h)),
+                ctx_dir.attend(hh, a, drop_mask=drop)
+                .astype(jnp.float32) ** 2))(h)),
         (ht, att),
         None,
     ))
