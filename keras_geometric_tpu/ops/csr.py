@@ -24,7 +24,13 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..kernels import attend_pallas, sddmm_pallas, softmax_pallas, spmm_pallas
+from ..kernels import (
+    attend_pallas,
+    band_pallas,
+    sddmm_pallas,
+    softmax_pallas,
+    spmm_pallas,
+)
 from .. import native
 
 __all__ = ["GraphContext", "prepare_graph"]
@@ -77,6 +83,16 @@ class GraphContext(NamedTuple):
     # the permutation-free attend backward folds this into the sender
     # kernel's interval indicator. None when no padded slots exist.
     edge_mask_ss: jax.Array | None = None
+    # Banded-dense tier (prepare_graph(band_window=...)): locality-fitting
+    # edges live in a dense [n_pad, W] band (kernels/band_pallas.py) and
+    # are ABSENT from the CSR edge stream above (which holds only the
+    # residual). band_bwd is the transposed orientation's plan (None when
+    # is_symmetric — the band is then self-transpose). spmm()/spmm_mean()
+    # sum both tiers; per-edge ops (gather/attend/edge_softmax) reject
+    # band contexts because the stream is incomplete.
+    band: band_pallas.BandPlan | None = None
+    band_bwd: band_pallas.BandPlan | None = None
+    num_band_edges: int = 0
 
     @property
     def num_edges(self) -> int:
@@ -85,7 +101,16 @@ class GraphContext(NamedTuple):
             if self.num_real_edges >= 0
             else int(self.senders.shape[0])
         )
-        return base + self.num_diag
+        return base + self.num_diag + self.num_band_edges
+
+    def _require_full_stream(self, op: str) -> None:
+        if self.band is not None:
+            raise ValueError(
+                f"{op} needs every edge in the CSR stream, but this "
+                "context was prepared with band_window= (band edges are "
+                "densified out of the stream). Prepare without "
+                "band_window for per-edge ops."
+            )
 
     @property
     def edge_index(self) -> jax.Array:
@@ -93,6 +118,7 @@ class GraphContext(NamedTuple):
 
     def gather(self, h: jax.Array) -> jax.Array:
         """``[N, F] -> [E, F]`` sender-row gather with a sorted-scatter VJP."""
+        self._require_full_stream("gather")
         return _gather_rows(
             h,
             (self.senders, self.bwd_perm, self.senders_sorted),
@@ -160,6 +186,7 @@ class GraphContext(NamedTuple):
         ~eps) is dropped. Masked (padded) slots get weight 0 and zero
         gradient.
         """
+        self._require_full_stream("edge_softmax")
         return _edge_softmax(
             scores,
             (self.receivers, self.edge_mask),
@@ -187,6 +214,7 @@ class GraphContext(NamedTuple):
         through the caller's gather. Padded edge slots return garbage —
         mask downstream (edge_softmax does).
         """
+        self._require_full_stream("sddmm_scores")
         return _sddmm(
             ht,
             hj,
@@ -225,6 +253,7 @@ class GraphContext(NamedTuple):
         softmax Jacobian, d_pre) is recomputed in-register on the
         sender-sorted scatter grid.
         """
+        self._require_full_stream("attend")
         h = int(att.shape[0])
         return _gatv2_attend(
             ht,
@@ -257,7 +286,25 @@ class GraphContext(NamedTuple):
         operator (``Aᵀ = A``) — the backward runs the identical
         gather+scatter instead of the expand + permutation + transposed
         scatter chain, saving a full random permutation pass.
+
+        With a banded tier (``band_window=``), ``A = B + R``: the band
+        part runs as dense MXU matmuls (kernels/band_pallas.py) and the
+        residual through the CSR path below; both splits are
+        transpose-stable so the VJP composes additively.
         """
+        if self.band is not None:
+            out = band_pallas.band_spmm(
+                h, self.band,
+                None if self.is_symmetric else self.band_bwd,
+            )
+            if self.num_real_edges > 0:
+                out = out + self._csr_spmm(h)
+            elif self.self_weight is not None:
+                out = out + h * self.self_weight[:, None].astype(h.dtype)
+            return out
+        return self._csr_spmm(h)
+
+    def _csr_spmm(self, h: jax.Array) -> jax.Array:
         if self.is_symmetric:
             return _spmm_symmetric(
                 h,
@@ -600,6 +647,8 @@ def prepare_graph(
     scatter_row_block: int = 256,
     expand_row_block: int = 128,
     pad_nodes: bool = False,
+    band_window: int | None = None,
+    band_row_block: int = 256,
 ) -> GraphContext:
     """One-time host preprocessing into a :class:`GraphContext`.
 
@@ -620,6 +669,13 @@ def prepare_graph(
     grain: node arrays must then be supplied (and are returned) with
     ``n_pad`` rows, and the kernels skip the trailing slice-copy of every
     scatter output. Padded rows have no edges and zero self-weight.
+
+    ``band_window=W`` (requires ``pad_nodes=True``) enables the
+    banded-dense tier: edges fitting a W-row window in both orientations
+    are stored as a dense band (kernels/band_pallas.py) and removed from
+    the CSR stream. Pays off after a locality reordering
+    (ops/reorder.py); on a random node numbering nearly every edge stays
+    in the residual and the context behaves as without it.
     """
     edge_index = np.asarray(edge_index)
     if edge_index.shape[0] != 2:
@@ -627,9 +683,15 @@ def prepare_graph(
     s = edge_index[0].astype(np.int64)
     r = edge_index[1].astype(np.int64)
     num_real_nodes = num_nodes
+    if band_window is not None and not pad_nodes:
+        raise ValueError("band_window requires pad_nodes=True")
     if pad_nodes:
         grain = max(scatter_row_block, expand_row_block)
+        if band_window is not None:
+            grain = max(grain, band_window // 2, band_row_block)
         num_nodes = -(-num_nodes // grain) * grain
+        if band_window is not None:
+            num_nodes = max(num_nodes, band_window)
     if symmetric:
         # Symmetry of the *weighted* adjacency lets spmm() reuse itself as
         # its own VJP. Verify the edge multiset is symmetric (GCN
@@ -683,19 +745,66 @@ def prepare_graph(
                 [np.asarray(edge_weight), np.ones(num_real_nodes, np.float32)]
             )
 
+    # Resolve per-edge weights BEFORE any split/sort: the GCN norm is a
+    # per-edge function of endpoint degrees, hence order-independent.
+    w_resolved = None
+    if gcn_normalize:
+        if densified_norm is not None:
+            w_resolved = densified_norm
+        else:
+            w_resolved = native.gcn_norm_weights(
+                s.astype(np.int32), r.astype(np.int32), num_nodes
+            )
+    if edge_weight is not None:
+        ew = np.asarray(edge_weight, np.float32)
+        w_resolved = ew if w_resolved is None else w_resolved * ew
+
+    # Full-stream in-degree (spmm_mean semantics), before any band split.
+    full_in_degree = np.bincount(r, minlength=num_nodes).astype(np.float32)
+
+    band_plan = band_plan_bwd = None
+    if band_window is not None:
+        # Keep the CSR stream non-empty (its tables assume >= 1 edge):
+        # on an all-local graph the first edge (and, for symmetry of the
+        # band matrix, its mirror) is re-routed to the residual.
+        exclude = None
+        probe, local0 = band_pallas.build_band_plan(
+            s, r, w_resolved, num_nodes,
+            window=band_window, row_block=band_row_block,
+        )
+        if local0.all():
+            # All copies of the first edge and of its mirror, so the
+            # band stays exactly symmetric under multi-edges.
+            exclude = (s == s[0]) & (r == r[0])
+            if symmetric:
+                exclude |= (s == r[0]) & (r == s[0])
+            band_plan, local = band_pallas.build_band_plan(
+                s, r, w_resolved, num_nodes,
+                window=band_window, row_block=band_row_block,
+                exclude=exclude,
+            )
+        else:
+            band_plan, local = probe, local0
+        if not symmetric:
+            # The fit criterion is endpoint-symmetric, so the transposed
+            # orientation bands exactly the same edge subset.
+            band_plan_bwd, _ = band_pallas.build_band_plan(
+                r, s, w_resolved, num_nodes,
+                window=band_window, row_block=band_row_block,
+                exclude=exclude,
+            )
+        keep = ~local
+        s, r = s[keep], r[keep]
+        if w_resolved is not None:
+            w_resolved = w_resolved[keep]
+
     perm_r, _ = native.coo_to_csr_perm(r.astype(np.int32), num_nodes)
     s_sorted_by_r = s[perm_r].astype(np.int32)
     r_sorted = r[perm_r].astype(np.int32)
 
     w = None
-    if gcn_normalize:
-        if densified_norm is not None:
-            w = densified_norm[perm_r]
-        else:
-            w = native.gcn_norm_weights(s_sorted_by_r, r_sorted, num_nodes)
-    if edge_weight is not None:
-        ew = np.asarray(edge_weight, np.float32)[perm_r]
-        w = ew if w is None else w * ew
+    if w_resolved is not None:
+        w = np.asarray(w_resolved, np.float32)[perm_r]
 
     # Pad the edge axis to the kernel chunk grain ONCE at preparation time —
     # the scatter kernel otherwise jnp.pads its [E, F] input on every call
@@ -734,7 +843,7 @@ def prepare_graph(
         row_block=scatter_row_block,
     )
 
-    deg = np.bincount(r_sorted, minlength=num_nodes).astype(np.float32)
+    deg = full_in_degree
     return GraphContext(
         senders=jnp.asarray(s_p),
         receivers=jnp.asarray(r_p),
@@ -759,4 +868,7 @@ def prepare_graph(
             None if pad == 0
             else jnp.asarray((perm_s < e_real).astype(np.float32))
         ),
+        band=band_plan,
+        band_bwd=band_plan_bwd,
+        num_band_edges=0 if band_plan is None else band_plan.num_edges,
     )

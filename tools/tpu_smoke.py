@@ -241,6 +241,41 @@ def build_cases(jnp, K, SM, csr):
             (htx, attx),
             None,
         ))
+    # Banded-dense tier (kernels/band_pallas.py): dense-window matmul
+    # fwd + VJP, both dtypes, against an XLA dense reference.
+    from keras_geometric_tpu.kernels import band_pallas as BP
+
+    n_band = 4096
+    rngb = np.random.default_rng(7)
+    rb_ = rngb.integers(0, n_band, 30_000)
+    sb_ = np.clip(rb_ + rngb.integers(-300, 300, 30_000), 0, n_band - 1)
+    wb_ = rngb.random(30_000).astype(np.float32)
+    plan, local_b = BP.build_band_plan(sb_, rb_, wb_, n_band, window=1024)
+    planT, _ = BP.build_band_plan(rb_, sb_, wb_, n_band, window=1024)
+    dense = np.zeros((n_band, n_band), np.float32)
+    np.add.at(dense, (rb_[local_b], sb_[local_b]), wb_[local_b])
+    for dt, dname in ((jnp.bfloat16, "bf16"), (jnp.float32, "f32")):
+        xb = jnp.asarray(
+            rngb.standard_normal((n_band, 128)), dtype=dt
+        )
+        dj = jnp.asarray(dense, dtype=dt)
+        cases.append((
+            f"band/{dname}/fwd",
+            (lambda x, p=plan, pT=planT: BP.band_spmm(x, p, pT)),
+            (xb,),
+            (lambda x, d=dj: jnp.dot(
+                d, x, preferred_element_type=jnp.float32
+            ).astype(x.dtype)),
+        ))
+        cases.append((
+            f"band/{dname}/fwd+bwd",
+            (lambda x, p=plan, pT=planT: jax.grad(
+                lambda xx: jnp.sum(
+                    BP.band_spmm(xx, p, pT).astype(jnp.float32) ** 2
+                ))(x)),
+            (xb,),
+            None,
+        ))
     return cases
 
 
