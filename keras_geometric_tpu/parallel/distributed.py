@@ -64,6 +64,7 @@ def shard_partitioned_graph(
     axis: str = "graph",
     halo_plan=None,
     kernel_plan=None,
+    attend_plan=None,
 ):
     """Device-put node data + edge shards with graph-axis sharding.
 
@@ -100,6 +101,11 @@ def shard_partitioned_graph(
 
         for k, v in plan_device_data(kernel_plan).items():
             out[f"kp_{k}"] = jax.device_put(v, shard)
+    if attend_plan is not None:
+        from .attend_plan import plan_device_data as attend_device_data
+
+        for k, v in attend_device_data(attend_plan).items():
+            out[f"kp_ap_{k}"] = jax.device_put(v, shard)
     if y is not None:
         out["y"] = jax.device_put(_node_shards(y, pg), shard)
     for name, m in (masks or {}).items():
@@ -150,6 +156,7 @@ def make_distributed_train_step(
     donate: bool = True,
     halo: bool = False,
     kernel_plan=None,
+    attend_plan=None,
     compute_dtype=None,
 ) -> Callable:
     """Build a jitted multi-chip train step.
@@ -173,6 +180,12 @@ def make_distributed_train_step(
         kp_keys = tuple(
             f"kp_{k}" for k in plan_device_data(kernel_plan)
         )
+        if attend_plan is not None:
+            from .attend_plan import plan_device_data as attend_device_data
+
+            kp_keys = kp_keys + tuple(
+                f"kp_ap_{k}" for k in attend_device_data(attend_plan)
+            )
         data_keys = ("x", "y", "train_mask") + kp_keys
     else:
         data_keys = (
@@ -204,7 +217,7 @@ def make_distributed_train_step(
                 kp_shard = {k: cast(v) if k.endswith("weight") else v
                             for k, v in kp_shard.items()}
             logits = encoder_apply_local_kernelized(
-                encoder, p, x_local, kp_shard, kernel_plan,
+                encoder, p, x_local, kp_shard, kernel_plan, attend_plan,
                 axis=axis, training=True, rng=rng,
             ).astype(jnp.float32)
             logp = jax.nn.log_softmax(logits, axis=-1)

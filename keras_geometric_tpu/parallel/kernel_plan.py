@@ -90,6 +90,7 @@ class KernelPlan(NamedTuple):
     halo_size: int
     nodes_per_part: int
     comm_fraction: float
+    in_degree: np.ndarray | None = None  # [P, L] real-edge receiver degree
 
 
 def _stack_tables(per_part: list[spmm_pallas.RowTables]) -> TableStack:
@@ -213,9 +214,16 @@ def build_kernel_plan(
         rem_s, rem_r, rem_w, L, edge_chunk=edge_chunk,
         row_block=row_block, num_source_rows=P * h,
     )
+    in_degree = np.stack([
+        np.bincount(
+            pg.receivers_local[p][pg.edge_mask[p]], minlength=L
+        ).astype(np.float32)
+        for p in range(P)
+    ])
     return KernelPlan(
         loc=loc, rem=rem, send_idx=plan.send_idx, halo_size=h,
         nodes_per_part=L, comm_fraction=plan.comm_fraction,
+        in_degree=in_degree,
     )
 
 
@@ -308,6 +316,8 @@ def plan_device_data(kp: KernelPlan) -> dict:
     """Flatten the plan into a dict of stackable arrays for shard_map
     (everything [P, ...]; static meta carried separately)."""
     out = {"send_idx": kp.send_idx}
+    if kp.in_degree is not None:
+        out["in_degree"] = kp.in_degree
     for name, es in (("loc", kp.loc), ("rem", kp.rem)):
         out[f"{name}_senders"] = es.senders
         out[f"{name}_receivers"] = es.receivers
@@ -332,6 +342,7 @@ def spmm_local_overlapped(
     *,
     axis: str = "graph",
     message_scale: jax.Array | None = None,
+    unit_weights: bool = False,
 ) -> jax.Array:
     """Per-chip (inside shard_map): ``out = A_local h + A_remote halo(h)``.
 
@@ -340,7 +351,9 @@ def spmm_local_overlapped(
     dependence on the ``all_to_all``, so XLA overlaps the collective with
     it. ``message_scale``: optional extra per-edge multiplier pairs
     ``(loc_scale, rem_scale)`` (e.g. dropout masks); normalization weights
-    are already fused via the plan.
+    are already fused via the plan. ``unit_weights=True`` replaces the
+    plan's weights with their validity indicator (1 real / 0 padded) — the
+    GIN/SAGE sum semantics on a plan that may carry GCN norm weights.
     """
     L = kp_meta.nodes_per_part
     ec, rb = kp_meta.loc.tables.edge_chunk, kp_meta.loc.tables.row_block
@@ -366,14 +379,21 @@ def spmm_local_overlapped(
             sub[f"{k}_bwd"] for k in ("bounds", "work_block", "work_chunk",
                                       "work_first", "work_cfirst")
         )
-        w = sub["weight"].astype(h_local.dtype)
+        w = sub["weight"]
+        w_ss = sub["weight_ss"]
+        if unit_weights:
+            w = (w != 0).astype(h_local.dtype)
+            w_ss = (w_ss != 0).astype(h_local.dtype)
+        else:
+            w = w.astype(h_local.dtype)
+            w_ss = w_ss.astype(h_local.dtype)
         if message_scale is None:
             # Linear path: permutation-free fused spmm VJP.
             aux = (
                 sub["senders"], sub["receivers"], w, fwd_flat,
                 sub["receivers_ss"],
                 sub["senders_sorted"],
-                sub["weight_ss"].astype(h_local.dtype),
+                w_ss,
                 bwd_flat,
             )
             return _kp_spmm(source, aux, L, num_source_rows, ec, rb)

@@ -272,3 +272,156 @@ class TestDistributedTraining:
         evaluate = make_distributed_eval_fn(enc, mesh)
         acc = float(evaluate(state.params, data, data["train_mask"]))
         assert acc > 0.5
+
+
+class TestKernelizedAllFamilies:
+    """VERDICT r2 item 3: the kernelized+overlapped distributed path must
+    cover GIN/SAGE (via the permutation-free _kp_spmm) and GATv2 (via the
+    per-shard fused attend plan), not just GCN."""
+
+    def _run_kernelized(self, mesh, enc, params, x, pg, kp, ap=None):
+        from jax.experimental.pallas import tpu as pltpu
+        from jax.sharding import PartitionSpec as P
+
+        from keras_geometric_tpu.parallel.distributed import (
+            shard_partitioned_graph,
+        )
+        from keras_geometric_tpu.parallel.spmd import (
+            encoder_apply_local_kernelized,
+        )
+
+        data = shard_partitioned_graph(
+            pg, mesh, x=x, kernel_plan=kp, attend_plan=ap
+        )
+        kp_keys = sorted(k for k in data if k.startswith("kp_"))
+
+        def body(p, xx, *kp_vals):
+            shard = {
+                k[len("kp_"):]: v[0] for k, v in zip(kp_keys, kp_vals)
+            }
+            return encoder_apply_local_kernelized(
+                enc, p, xx[0], shard, kp, ap
+            )[None]
+
+        fwd = jax.jit(
+            jax.shard_map(
+                body,
+                mesh=mesh,
+                in_specs=(P(), P("graph")) + (P("graph"),) * len(kp_keys),
+                out_specs=P("graph"),
+                check_vma=False,
+            )
+        )
+        with pltpu.force_tpu_interpret_mode():
+            out = fwd(params, data["x"], *[data[k] for k in kp_keys])
+        return np.asarray(out).reshape(-1, out.shape[-1])
+
+    @pytest.mark.parametrize(
+        "conv,conv_kwargs,part_kwargs",
+        [
+            ("gin", {"aggregator": "sum"}, {}),
+            ("gin", {"aggregator": "mean"}, {}),
+            ("sage", {"aggregator": "mean"}, {}),
+            ("sage", {"aggregator": "sum"}, {}),
+        ],
+    )
+    def test_gin_sage_forward_parity(self, mesh, graph, conv, conv_kwargs,
+                                     part_kwargs):
+        from keras_geometric_tpu.parallel import build_kernel_plan
+        from keras_geometric_tpu.nn.module import get_activation
+
+        x, ei, _ = graph
+        n = x.shape[0]
+        pg = partition_graph(ei, n, N_DEV, **part_kwargs)
+        kp = build_kernel_plan(pg, edge_chunk=128, row_block=8)
+        enc = GNNEncoder(
+            conv=conv, hidden_dims=(8, 6),
+            conv_kwargs=tuple(conv_kwargs.items()),
+        )
+        params = enc.init(jax.random.PRNGKey(0), x.shape[1])
+
+        h = jnp.asarray(x)
+        for i, layer in enumerate(enc._layers()):
+            h = layer.apply(params[f"layer_{i}"], h, jnp.asarray(ei))
+            if i < len(enc._layers()) - 1:
+                h = get_activation(enc.activation)(h)
+        ref = np.asarray(h)
+
+        out = self._run_kernelized(mesh, enc, params, x, pg, kp)[:n]
+        np.testing.assert_allclose(out, ref, rtol=2e-4, atol=2e-5)
+
+    def test_gatv2_forward_parity(self, mesh, graph):
+        from keras_geometric_tpu.parallel import build_kernel_plan
+        from keras_geometric_tpu.parallel.attend_plan import (
+            build_attend_plan,
+        )
+        from keras_geometric_tpu.nn.module import get_activation
+
+        x, ei, _ = graph
+        n = x.shape[0]
+        pg = partition_graph(ei, n, N_DEV, add_self_loops=True)
+        kp = build_kernel_plan(pg, edge_chunk=128, row_block=8)
+        ap = build_attend_plan(
+            pg, edge_chunk=128, scatter_row_block=8, expand_row_block=8
+        )
+        enc = GNNEncoder(
+            conv="gatv2", hidden_dims=(8, 6),
+            conv_kwargs=tuple({
+                "heads": 2, "add_self_loops": False,
+            }.items()),
+        )
+        params = enc.init(jax.random.PRNGKey(0), x.shape[1])
+
+        ei_ref, _ = kgt.add_self_loops(jnp.asarray(ei), n)
+        h = jnp.asarray(x)
+        for i, layer in enumerate(enc._layers()):
+            h = layer.apply(params[f"layer_{i}"], h, ei_ref)
+            if i < len(enc._layers()) - 1:
+                h = get_activation(enc.activation)(h)
+        ref = np.asarray(h)
+
+        out = self._run_kernelized(mesh, enc, params, x, pg, kp, ap)[:n]
+        np.testing.assert_allclose(out, ref, rtol=5e-4, atol=5e-5)
+
+    def test_gatv2_training_kernelized(self, mesh):
+        from jax.experimental.pallas import tpu as pltpu
+
+        from keras_geometric_tpu.parallel import build_kernel_plan
+        from keras_geometric_tpu.parallel.attend_plan import (
+            build_attend_plan,
+        )
+
+        g = synthetic_planetoid("cora", seed=3)
+        keep = 256
+        sel = (g.edge_index[0] < keep) & (g.edge_index[1] < keep)
+        ei = g.edge_index[:, sel]
+        x, y = g.x[:keep], g.y[:keep]
+        train_mask = g.train_mask[:keep]
+
+        pg = partition_graph(ei, keep, N_DEV, add_self_loops=True)
+        kp = build_kernel_plan(pg, edge_chunk=128, row_block=8)
+        ap = build_attend_plan(
+            pg, edge_chunk=128, scatter_row_block=8, expand_row_block=8
+        )
+        enc = GNNEncoder(
+            conv="gatv2", hidden_dims=(16, 7),
+            conv_kwargs=tuple({
+                "heads": 2, "add_self_loops": False,
+            }.items()),
+        )
+        params = enc.init(jax.random.PRNGKey(0), x.shape[1])
+        tx = optax.adam(0.01)
+        state = TrainState.create(params, tx, jax.random.PRNGKey(1))
+        data = shard_partitioned_graph(
+            pg, mesh, x=x, y=y, masks={"train_mask": train_mask},
+            kernel_plan=kp, attend_plan=ap,
+        )
+        step = make_distributed_train_step(
+            enc, tx, mesh, kernel_plan=kp, attend_plan=ap
+        )
+        losses = []
+        with pltpu.force_tpu_interpret_mode():
+            for _ in range(20):
+                state, loss = step(state, data)
+                losses.append(float(loss))
+        assert losses[-1] < losses[0] * 0.8, losses
