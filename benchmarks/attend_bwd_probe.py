@@ -1,4 +1,11 @@
-"""Decompose the v2 permutation-free attend backward at arxiv scale."""
+"""Decompose the single-permute attend backward at arxiv scale (r3).
+
+History: the r2 sender-grid backward recomputed everything from THREE
+random node-table gathers; r3 probes found each additional random gather
+in one program costs an allocation-dependent +10-15 ms ("gather
+lottery", benchmarks/RESULTS.md), so the backward was restructured to
+ONE wide edge permute (this probe's rows time each piece).
+"""
 
 from __future__ import annotations
 
@@ -14,7 +21,7 @@ def main():
 
     from keras_geometric_tpu.kernels import attend_pallas as AP
     from keras_geometric_tpu.kernels import sddmm_pallas as SD
-    from keras_geometric_tpu.kernels import softmax_pallas as SM
+    from keras_geometric_tpu.kernels import spmm_pallas as K
     from keras_geometric_tpu.ops.csr import prepare_graph
     from keras_geometric_tpu.utils.profiling import timed_steps
 
@@ -51,6 +58,9 @@ def main():
         jnp.float32,
     )
     da = jnp.asarray(rng.standard_normal((e_pad, HEADS)), jnp.float32)
+    v = jnp.asarray(
+        rng.standard_normal((e_pad, d)).astype(np.float32), jnp.bfloat16
+    )
 
     def t(name, fn, *args):
         jfn = jax.jit(fn)
@@ -58,42 +68,25 @@ def main():
         sec = timed_steps(lambda: jfn(*args), k_lo=2, k_hi=8)
         print(f"{name:44s} {sec*1e3:8.2f} ms", flush=True)
 
-    t("sddmm fwd", lambda h, j: SD.sddmm_scores_sorted(
-        h, j, att, tables=ctx.expand_tables), ht, hj)
-    t("softmax stats", lambda s: SM.softmax_stats_sorted(
-        s, ctx.num_nodes, tables=ctx.fwd_tables), scores)
+    # Forward pieces.
+    t("take hj [E,256]", lambda h: jnp.take(h, ctx.senders, axis=0), ht)
+    t("sddmm+stats fused", lambda h, j: SD.sddmm_stats_sorted(
+        h, j, att, tables=ctx.fwd_tables, num_nodes=ctx.num_nodes,
+        edge_valid=ctx.edge_mask), ht, hj)
     t("agg fwd", lambda s, j: AP.attend_aggregate_sorted(
         s, m, l, j, tables=ctx.fwd_tables), scores, hj)
+
+    # Backward pieces.
     t("alpha_bwd (da, rho)", lambda gg, j: AP.attend_alpha_bwd_sorted(
         gg, scores, m, l, j, tables=ctx.fwd_tables), g, hj)
-    t("recv_bwd (dht, datt)", lambda gg, j: AP.attend_recv_bwd_sorted(
-        ht, j, att, scores, m, l, rho, da, tables=ctx.fwd_tables),
+    t("recv_bwd_full (dht, datt, v)",
+      lambda gg, j: AP.attend_recv_bwd_full_sorted(
+          ht, gg, j, att, scores, m, l, rho, da, tables=ctx.fwd_tables),
       g, hj)
-
-    def pack_take3(gg):
-        tail, packed = AP.pack_node_sidecar(m, l, rho, ctx.num_nodes,
-                                            ht.dtype)
-        return (
-            jnp.take(gg, ctx.receivers_ss, axis=0),
-            jnp.take(ht, ctx.receivers_ss, axis=0),
-            jnp.take(tail, ctx.receivers_ss, axis=0),
-        )
-
-    t("pack+take x3 (256+256+128)", pack_take3, g)
-    g_ss, ht_ss, tail_ss = jax.jit(pack_take3)(g)
-    t("sender_bwd kernel", lambda a, b, c: AP.attend_sender_bwd_sorted(
-        ht, a, b, c, att, tables=ctx.bwd_tables, packed=True,
-        mask_ss=ctx.edge_mask_ss), g_ss, ht_ss, tail_ss)
-    t("take [E,256] anchor",
-      lambda h: jnp.take(h, ctx.receivers_ss, axis=0), ht)
-
-    # old-path anchors
-    t("agg_bwd v1 (da, dhj, rho)", lambda gg, j: AP.attend_agg_bwd_sorted(
-        gg, scores, m, l, j, tables=ctx.fwd_tables), g, hj)
-    t("score_bwd v1 (dpre, datt)",
-      lambda j: AP.attend_score_bwd_sorted(
-          ht, j, att, scores, m, l, rho, da, tables=ctx.expand_tables),
-      hj)
+    t("permute v [E,256]", lambda vv: jnp.take(vv, ctx.bwd_perm, axis=0),
+      v)
+    t("sorted scatter v", lambda vv: K.scatter_sum_sorted(
+        vv, ctx.senders_sorted, ctx.num_nodes, tables=ctx.bwd_tables), v)
 
 
 if __name__ == "__main__":

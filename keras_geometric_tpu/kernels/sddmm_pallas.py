@@ -41,7 +41,12 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .spmm_pallas import RowTables, _dots
 
-__all__ = ["sddmm_scores_sorted", "sddmm_bwd_sorted", "head_selector"]
+__all__ = [
+    "sddmm_scores_sorted",
+    "sddmm_stats_sorted",
+    "sddmm_bwd_sorted",
+    "head_selector",
+]
 
 
 def _dots_data_lhs(data, exact_rhs, precision, dims):
@@ -115,6 +120,228 @@ def _sddmm_fwd_kernel(
         za = z * att_ref[0:1, :].astype(jnp.float32)
         scores = _dots_data_lhs(za, sel_ref[:], precision, ((1,), (0,)))
         out_ref[:] = scores.astype(out_ref.dtype)
+
+
+def _sddmm_stats_kernel(
+    work_block_ref, work_chunk_ref, work_first_ref, work_cfirst_ref,  # SMEM
+    bounds_ref,  # [1, 2, RB]
+    rows_ref,  # [RB, D]
+    hj_ref,  # [EC, D]
+    att_ref,  # [1, D]
+    sel_ref,  # [D, H]
+    valid_ref,  # [1, 1, EC] f32 (1 real / 0 padded)
+    scores_ref,  # [EC, H] out (chunk-last)
+    m_out_ref,  # [RB, H] out (block-last)
+    l_out_ref,  # [RB, H] out (block-last)
+    acc_ref,  # [EC, D] f32 scratch (hi accumulator, per chunk)
+    m_acc_ref,  # [RB, H] f32 scratch (per block)
+    l_acc_ref,  # [RB, H] f32 scratch
+    *,
+    edge_chunk: int,
+    negative_slope: float,
+    precision,
+):
+    """SDDMM scores + flash-style online softmax stats in ONE pass.
+
+    The separate stats pass (softmax_pallas.softmax_stats_sorted)
+    re-streams the scores it just wrote and pays the work-list grid
+    overhead a second time (~6 ms at ogbn-arxiv scale, VERDICT r2 item
+    2). Here the stats accumulate on the same grid: at item (block b,
+    chunk c) the edges of block b inside chunk c have their receiver-row
+    contribution complete (each edge's ``hi`` comes from exactly one
+    block), so their scores are final the moment the block's one-hot
+    lands — the per-block (m, l) update needs no second stream.
+    """
+    w = pl.program_id(0)
+    base = work_chunk_ref[w] * edge_chunk
+    rb = bounds_ref.shape[2]
+    k = sel_ref.shape[1]
+    lo = bounds_ref[0, 0:1, :]  # [1, RB]
+    hi_b = bounds_ref[0, 1:2, :]
+    gidx_t = base + jax.lax.broadcasted_iota(
+        jnp.int32, (edge_chunk, 1), 0
+    )
+    onehot = jnp.where((gidx_t >= lo) & (gidx_t < hi_b), 1.0, 0.0)
+    contrib = _dots(onehot, rows_ref[:], precision, ((1,), (0,)))
+
+    cflags = work_cfirst_ref[w]
+    c_first = (cflags & 1) == 1
+    c_last = (cflags & 2) == 2
+    bflags = work_first_ref[w]
+    b_first = (bflags & 1) == 1
+    b_last = (bflags & 2) == 2
+
+    @pl.when(c_first)
+    def _():
+        acc_ref[:] = contrib
+
+    @pl.when(jnp.logical_not(c_first))
+    def _():
+        acc_ref[:] += contrib
+
+    att_row = att_ref[0:1, :].astype(jnp.float32)
+    valid = valid_ref[0, 0:1, :]  # [1, EC]
+    neg = jnp.float32(-jnp.inf)
+
+    def score_of(pre):
+        z = jnp.where(pre > 0, pre, negative_slope * pre)
+        return _dots_data_lhs(z * att_row, sel_ref[:], precision,
+                              ((1,), (0,)))
+
+    # Stats for THIS block's edges (their hi is complete in acc now).
+    s_item = score_of(acc_ref[:] + hj_ref[:].astype(jnp.float32))
+    s_item = jnp.where(valid.reshape(edge_chunk, 1) > 0, s_item, neg)
+
+    # Per-head masked max along lanes: transpose to [H, EC].
+    lo_r = bounds_ref[0, 0:1, :].reshape(rb, 1)
+    hi_r = bounds_ref[0, 1:2, :].reshape(rb, 1)
+    eidx = jax.lax.broadcasted_iota(jnp.int32, (1, edge_chunk), 1)
+    hitb = (base + eidx >= lo_r) & (base + eidx < hi_r)  # [RB, EC]
+    hit = jnp.where(hitb, 1.0, 0.0)
+    s_t = s_item.T  # [H, EC] (2-D relayout; K is tiny)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (rb, k), 1)
+    mx = jnp.full((rb, k), neg, jnp.float32)
+    for kk in range(k):
+        s_k = s_t[kk: kk + 1, :]
+        masked = jnp.where(hitb, s_k, neg)
+        col = jnp.max(masked, axis=1, keepdims=True)
+        mx = jnp.where(lane == kk, col, mx)
+
+    m_old = jnp.where(b_first, jnp.full((rb, k), neg, jnp.float32),
+                      m_acc_ref[:])
+    l_old = jnp.where(b_first, jnp.zeros((rb, k), jnp.float32),
+                      l_acc_ref[:])
+    m_new = jnp.maximum(m_old, mx)
+    m_safe = jnp.where(jnp.isfinite(m_new), m_new, 0.0)
+    m_e = _dots(onehot, m_safe, "split2", ((1,), (0,)))  # [EC, H]
+    # Clamp: rows outside this block carry partial-acc garbage scores;
+    # min(x, 0) is exact for valid rows (m is their running max) and
+    # keeps exp() finite for garbage (the one-hot contraction then
+    # removes the bounded value exactly; 0 * inf would be NaN).
+    ex = jnp.exp(jnp.minimum(s_item - m_e, 0.0))
+    l_contrib = _dots(hit, ex, "split2", ((1,), (0,)))
+    factor = jnp.where(jnp.isfinite(m_old), jnp.exp(m_old - m_safe), 0.0)
+    l_new = l_old * factor + l_contrib
+    m_acc_ref[:] = m_new
+    l_acc_ref[:] = l_new
+
+    @pl.when(b_last)
+    def _():
+        m_out_ref[:] = jnp.where(
+            jnp.isfinite(m_new), m_new, 0.0
+        ).astype(m_out_ref.dtype)
+        l_out_ref[:] = l_new.astype(l_out_ref.dtype)
+
+    @pl.when(c_last)
+    def _():
+        # Full pre for every edge of the chunk: write the score output.
+        s_full = score_of(acc_ref[:] + hj_ref[:].astype(jnp.float32))
+        s_full = jnp.where(
+            valid.reshape(edge_chunk, 1) > 0, s_full, neg
+        )
+        scores_ref[:] = s_full.astype(scores_ref.dtype)
+
+
+def sddmm_stats_sorted(
+    rows: jax.Array,  # [N, D] transformed node features (ht)
+    hj: jax.Array,  # [E, D] gathered sender rows (receiver-sorted order)
+    att: jax.Array,  # [H, F]
+    *,
+    tables: RowTables,
+    num_nodes: int,
+    edge_valid: jax.Array | None = None,  # [E] 1/0; None = all valid
+    negative_slope: float = 0.2,
+    precision=None,
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Fused GATv2 scores + per-receiver softmax stats in one pass.
+
+    Returns ``(scores [E, H] f32 with padded slots -inf, m [N, H], l
+    [N, H])`` — replaces ``sddmm_scores_sorted`` + mask +
+    ``softmax_stats_sorted``. ``tables`` must be the receiver-grid
+    tables whose row blocks the caller also uses for the aggregate
+    (they carry both chunk- and block-accumulation flags).
+    """
+    e, d = hj.shape
+    heads = att.shape[0]
+    ec = tables.edge_chunk
+    rb = tables.row_block
+    e_pad = ((e + ec - 1) // ec) * ec
+    hj_p = jnp.pad(hj, ((0, e_pad - e), (0, 0)))
+    rows = _pad_rows(rows, tables)
+    att_flat = att.reshape(1, d)
+    sel = head_selector(heads, d // heads)
+    if edge_valid is None:
+        valid = jnp.ones((e,), jnp.float32)
+    else:
+        valid = edge_valid.astype(jnp.float32)
+    valid = jnp.pad(valid, (0, e_pad - e)).reshape(e_pad // ec, 1, ec)
+    if precision is None:
+        precision = (
+            "split2" if rows.dtype == jnp.float32
+            else jax.lax.Precision.DEFAULT
+        )
+    num_blocks = tables.bounds.shape[0]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(tables.num_work,),
+        in_specs=[
+            pl.BlockSpec((1, 2, rb), lambda w, b, c, f1, f2: (b[w], 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((rb, d), lambda w, b, c, f1, f2: (b[w], 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((ec, d), lambda w, b, c, f1, f2: (c[w], 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d), lambda w, b, c, f1, f2: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((d, heads), lambda w, b, c, f1, f2: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, ec), lambda w, b, c, f1, f2: (c[w], 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((ec, heads), lambda w, b, c, f1, f2: (c[w], 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((rb, heads), lambda w, b, c, f1, f2: (b[w], 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((rb, heads), lambda w, b, c, f1, f2: (b[w], 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((ec, d), jnp.float32),
+            pltpu.VMEM((rb, heads), jnp.float32),
+            pltpu.VMEM((rb, heads), jnp.float32),
+        ],
+    )
+    scores, m, l = pl.pallas_call(
+        functools.partial(
+            _sddmm_stats_kernel, edge_chunk=ec,
+            negative_slope=float(negative_slope), precision=precision,
+        ),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((e_pad, heads), jnp.float32),
+            jax.ShapeDtypeStruct((num_blocks * rb, heads), jnp.float32),
+            jax.ShapeDtypeStruct((num_blocks * rb, heads), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=4 * tables.num_work * ec * (tables.row_block + heads) * d,
+            bytes_accessed=tables.num_work
+            * (ec + tables.row_block) * d * rows.dtype.itemsize,
+            transcendentals=2 * tables.num_work * ec * heads,
+        ),
+    )(
+        jnp.asarray(tables.work_block),
+        jnp.asarray(tables.work_chunk),
+        jnp.asarray(tables.work_first),
+        jnp.asarray(tables.work_cfirst),
+        jnp.asarray(tables.bounds),
+        rows,
+        hj_p,
+        att_flat,
+        sel,
+        valid,
+    )
+    return scores[:e], m[:num_nodes], l[:num_nodes]
 
 
 def _sddmm_bwd_kernel(

@@ -244,14 +244,11 @@ class GraphContext(NamedTuple):
         α-weighted aggregation — ``ht`` is ``[N, H·F]``, ``att`` is
         ``[H, F]``, output ``[N, H·F]``.
 
-        The hand-written backward never permutes an ``[E, H·F]`` edge
-        array (XLA's random row permutation costs ~15.5 ms at ogbn-arxiv
-        scale). The sender-side cotangent is built DIRECTLY in
-        sender-sorted order (kernels/attend_pallas.attend_sender_bwd_
-        sorted): node-side values arrive via ONE concatenated-table
-        gather by ``receivers_ss`` and everything per-edge (scores, α,
-        softmax Jacobian, d_pre) is recomputed in-register on the
-        sender-sorted scatter grid.
+        The backward touches random memory exactly ONCE: the receiver-
+        grid pass (kernels/attend_pallas.attend_recv_bwd_full_sorted)
+        builds the total per-edge sender cotangent from block-streamed
+        expands, and a single ``[E, H·F]`` permute + sorted scatter
+        finishes the sender side (see _gatv2_attend_bwd).
         """
         self._require_full_stream("attend")
         h = int(att.shape[0])
@@ -438,26 +435,20 @@ _sddmm.defvjp(_sddmm_fwd, _sddmm_bwd)
 
 def _attend_fwd_compute(ht, att, arrays, fwd_tables, exp_tables, num_nodes,
                         heads, negative_slope, eps):
-    """Kernel-complete fused attention forward: random gather + Pallas
-    SDDMM scores + fused two-pass softmax stats + one-pass
-    alpha/broadcast/message/scatter (kernels/attend_pallas.py). alpha is
-    never materialized to HBM."""
+    """Kernel-complete fused attention forward: random gather + ONE
+    fused SDDMM+online-softmax-stats pass (kernels/sddmm_pallas.
+    sddmm_stats_sorted — the r2 separate stats pass re-streamed the
+    scores for ~6 ms at arxiv scale) + one-pass alpha/broadcast/message/
+    scatter (kernels/attend_pallas.py). alpha never hits HBM; padded
+    slots (inside the last row's intervals) are -inf'd in-kernel."""
     senders, receivers, edge_mask, _perm, _ss, _rss, drop_mask, \
         _mask_ss = arrays
     f = att.shape[-1]
     hj = jnp.take(ht, senders, axis=0)  # [E, H*F] random gather
-    scores = sddmm_pallas.sddmm_scores_sorted(
-        ht, hj, att.reshape(heads, f), tables=exp_tables,
+    scores, m, l = sddmm_pallas.sddmm_stats_sorted(
+        ht, hj, att.reshape(heads, f), tables=fwd_tables,
+        num_nodes=num_nodes, edge_valid=edge_mask,
         negative_slope=negative_slope,
-    )
-    if edge_mask is not None:
-        # Padded edge slots sit INSIDE the last row's intervals (they
-        # point at the last node), so they must be -inf'd before stats.
-        scores = jnp.where(
-            edge_mask[:, None], scores, jnp.full_like(scores, -jnp.inf)
-        )
-    m, l = softmax_pallas.softmax_stats_sorted(
-        scores, num_nodes, tables=fwd_tables
     )
     out = attend_pallas.attend_aggregate_sorted(
         scores, m, l, hj, tables=fwd_tables, eps=eps, drop_mask=drop_mask,
@@ -486,32 +477,29 @@ def _gatv2_attend_fwd(ht, att, arrays, fwd_tables, exp_tables, bwd_tables,
 
 def _gatv2_attend_bwd(fwd_tables, exp_tables, bwd_tables, num_nodes, heads,
                       negative_slope, eps, res, g):
-    """Permutation-free kernel-complete backward (three Pallas passes,
-    kernels/attend_pallas.py; no [E, D] array ever changes edge order):
+    """Single-permute kernel-complete backward (two Pallas passes + one
+    edge permute + one sorted scatter; kernels/attend_pallas.py):
 
     1. ``attend_alpha_bwd_sorted`` (receiver grid): d_alpha and the
-       softmax-Jacobian row term rho — the wide aggregation-branch d_hj
-       is NOT written (recomputed in pass 3);
-    2. ``attend_recv_bwd_sorted`` (receiver grid): ds = alpha (d_alpha -
-       rho_e), d_pre = (ds S^T) att leaky'(pre) formed in-register and
-       scattered straight into d ht (d_pre never hits HBM); emits datt;
-    3. ``attend_sender_bwd_sorted`` (sender grid): the total sender
-       cotangent alpha_keep*g[recv] + d_pre recomputed in-register from
-       THREE separate ≤256-lane node-table gathers by receivers-in-
-       sender-order (g, ht, and a 128-lane packed m|l|rho sidecar) —
-       XLA's random gather has a width cliff above 256 lanes (see
-       kernels/attend_pallas.pack_node_sidecar); padded slots are
-       neutralized by a static mask folded into the interval indicator.
+       softmax-Jacobian row term rho;
+    2. ``attend_recv_bwd_full_sorted`` (receiver grid): ds = alpha
+       (d_alpha - rho_e), d_pre formed in-register and scattered straight
+       into d ht; emits datt AND the total per-edge sender cotangent
+       ``v = alpha_keep * g[recv] + d_pre`` — every node-side input
+       arrives via block-streamed expands, no random access;
+    3. ``take(v, perm)`` + sorted scatter over the transposed tables.
 
-    When training with attention dropout the sender pass additionally
-    needs the keep mask in sender order — one narrow [E, H] reorder
-    (~8 ms at arxiv scale; still far below the ~15.5 ms [E, H·F] permute
-    this path replaces). Falls back to the permute+scatter backward when
-    ``receivers_ss`` is absent.
+    Design history: the r2 sender-grid path recomputed everything from
+    THREE random node-table gathers (g/ht/packed-stats by receivers-in-
+    sender-order). r3 probes showed multiple random gathers in one
+    program cost an allocation-dependent 12-42 ms at arxiv scale (each
+    extra gather ~+14 ms in the slow mode, benchmarks/RESULTS.md); ONE
+    wide [E, D] permute bounds that lottery at a single draw and also
+    removes the narrow dropout-mask reorder entirely.
     """
     ht, att, arrays, hj, scores, m, l = res
-    _senders, receivers, _mask, perm, senders_sorted, rss, \
-        drop_mask, mask_ss = arrays
+    _senders, receivers, _mask, perm, senders_sorted, _rss, \
+        drop_mask, _mask_ss = arrays
     f = att.shape[-1]
     att_hf = att.reshape(heads, f)
 
@@ -519,46 +507,17 @@ def _gatv2_attend_bwd(fwd_tables, exp_tables, bwd_tables, num_nodes, heads,
         g, scores, m, l, hj, tables=fwd_tables, eps=eps,
         drop_mask=drop_mask,
     )
-    dht, datt = attend_pallas.attend_recv_bwd_sorted(
-        ht, hj, att_hf, scores, m, l, rho, d_alpha,
+    dht, datt, v = attend_pallas.attend_recv_bwd_full_sorted(
+        ht, g, hj, att_hf, scores, m, l, rho, d_alpha,
         tables=fwd_tables, eps=eps, negative_slope=negative_slope,
+        drop_mask=drop_mask,
     )
     dht = dht[: ht.shape[0]]
-
-    if rss is None:
-        # Fallback: permute the total edge cotangent into sender order.
-        d_pre, _ = attend_pallas.attend_score_bwd_sorted(
-            ht, hj, att_hf, scores, m, l, rho, d_alpha,
-            tables=exp_tables, eps=eps, negative_slope=negative_slope,
-        )
-        alpha = jnp.exp(scores - m[receivers]) / (l[receivers] + eps)
-        if drop_mask is not None:
-            alpha = alpha * drop_mask
-        d_hj_agg = (
-            jnp.repeat(alpha.astype(jnp.float32), f, axis=1)
-            * jnp.take(g, receivers, axis=0).astype(jnp.float32)
-        ).astype(hj.dtype)
-        dht = dht + spmm_pallas.scatter_sum_sorted(
-            jnp.take(d_hj_agg + d_pre, perm, axis=0),
-            senders_sorted,
-            num_nodes,
-            tables=bwd_tables,
-        )
-        return dht.astype(ht.dtype), datt.reshape(att.shape), None
-
-    tail, packed = attend_pallas.pack_node_sidecar(
-        m, l, rho, num_nodes, ht.dtype
-    )
-    g_ss = jnp.take(g.astype(ht.dtype), rss, axis=0)
-    ht_ss = jnp.take(ht, rss, axis=0)
-    tail_ss = jnp.take(tail, rss, axis=0)
-    drop_ss = (
-        None if drop_mask is None else jnp.take(drop_mask, perm, axis=0)
-    )
-    dht_send = attend_pallas.attend_sender_bwd_sorted(
-        ht, g_ss, ht_ss, tail_ss, att_hf, tables=bwd_tables,
-        packed=packed, eps=eps, negative_slope=negative_slope,
-        mask_ss=mask_ss, drop_ss=drop_ss,
+    dht_send = spmm_pallas.scatter_sum_sorted(
+        jnp.take(v, perm, axis=0),
+        senders_sorted,
+        num_nodes,
+        tables=bwd_tables,
     )
     dht = dht + dht_send[: ht.shape[0]]
     return dht.astype(ht.dtype), datt.reshape(att.shape), None

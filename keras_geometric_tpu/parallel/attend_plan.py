@@ -32,7 +32,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..kernels import attend_pallas, sddmm_pallas, softmax_pallas, spmm_pallas
+from ..kernels import attend_pallas, sddmm_pallas, spmm_pallas
 from ..ops.graph_ops import round_up
 from .halo import HaloPlan, build_halo_plan, exchange
 from .kernel_plan import TableStack, _stack_tables
@@ -160,18 +160,11 @@ def _attend_fwd_compute(ht_src, ht_recv, att, arrays, meta):
      drop_mask, fwd_flat, exp_flat, _bwd_flat) = arrays
     num_local, negative_slope, eps, ec, rb_fwd, rb_exp, _rb_bwd = meta
     fwd_tables = _unflat_tables(fwd_flat, ec, rb_fwd)
-    exp_tables = _unflat_tables(exp_flat, ec, rb_exp)
+    del exp_flat  # expand tables only serve the (unused) separate sddmm
     hj = jnp.take(ht_src, senders, axis=0)
-    scores = sddmm_pallas.sddmm_scores_sorted(
-        ht_recv, hj, att, tables=exp_tables,
-        negative_slope=negative_slope,
-    )
-    scores = jnp.where(
-        edge_valid[:, None] > 0, scores,
-        jnp.full_like(scores, -jnp.inf),
-    )
-    m, l = softmax_pallas.softmax_stats_sorted(
-        scores, num_local, tables=fwd_tables
+    scores, m, l = sddmm_pallas.sddmm_stats_sorted(
+        ht_recv, hj, att, tables=fwd_tables, num_nodes=num_local,
+        edge_valid=edge_valid, negative_slope=negative_slope,
     )
     out = attend_pallas.attend_aggregate_sorted(
         scores, m, l, hj, tables=fwd_tables, eps=eps, drop_mask=drop_mask,
@@ -191,13 +184,14 @@ def _attend_dist_fwd(ht_src, ht_recv, att, arrays, meta):
 
 
 def _attend_dist_bwd(meta, saved, g):
-    """The single-chip permutation-free three-pass backward
+    """The single-chip single-permute backward
     (ops/csr._gatv2_attend_bwd), with receiver- and sender-side feature
-    tables distinct: d ht_recv comes from the receiver-grid passes, the
-    sender-grid pass scatters into the full ``[L + P*H]`` source table
-    (halo rows' cotangents return through exchange's transpose)."""
+    tables distinct: d ht_recv comes from the receiver-grid passes; the
+    per-edge sender cotangent ``v`` is permuted once and scattered into
+    the full ``[L + P*H]`` source table (halo rows' cotangents return
+    through exchange's transpose)."""
     (ht_src, ht_recv, att, arrays, hj, scores, m, l) = saved
-    (_senders, _receivers, _edge_valid, perm, _ss, rss, valid_ss,
+    (_senders, _receivers, _edge_valid, perm, ss, _rss, _valid_ss,
      drop_mask, fwd_flat, _exp_flat, bwd_flat) = arrays
     num_local, negative_slope, eps, ec, rb_fwd, _rb_exp, rb_bwd = meta
     fwd_tables = _unflat_tables(fwd_flat, ec, rb_fwd)
@@ -207,25 +201,15 @@ def _attend_dist_bwd(meta, saved, g):
         g, scores, m, l, hj, tables=fwd_tables, eps=eps,
         drop_mask=drop_mask,
     )
-    dht_recv, datt = attend_pallas.attend_recv_bwd_sorted(
-        ht_recv, hj, att, scores, m, l, rho, d_alpha,
+    dht_recv, datt, v = attend_pallas.attend_recv_bwd_full_sorted(
+        ht_recv, g, hj, att, scores, m, l, rho, d_alpha,
         tables=fwd_tables, eps=eps, negative_slope=negative_slope,
+        drop_mask=drop_mask,
     )
     dht_recv = dht_recv[: ht_recv.shape[0]]
-
-    tail, packed = attend_pallas.pack_node_sidecar(
-        m, l, rho, num_local, ht_src.dtype
-    )
-    g_ss = jnp.take(g.astype(ht_src.dtype), rss, axis=0)
-    htr_ss = jnp.take(ht_recv, rss, axis=0)
-    tail_ss = jnp.take(tail, rss, axis=0)
-    drop_ss = (
-        None if drop_mask is None else jnp.take(drop_mask, perm, axis=0)
-    )
-    dht_src = attend_pallas.attend_sender_bwd_sorted(
-        ht_src, g_ss, htr_ss, tail_ss, att, tables=bwd_tables,
-        packed=packed, eps=eps, negative_slope=negative_slope,
-        mask_ss=valid_ss, drop_ss=drop_ss,
+    dht_src = spmm_pallas.scatter_sum_sorted(
+        jnp.take(v, perm, axis=0), ss, ht_src.shape[0],
+        tables=bwd_tables,
     )[: ht_src.shape[0]]
     return (
         dht_src.astype(ht_src.dtype),
