@@ -7,13 +7,26 @@ Self-loops + symmetric normalization included (preprocessed once, as the
 framework prescribes). Timing excludes compilation; steps are timed in
 blocks with a single device sync at the end of each block.
 
+TWO graph rows (VERDICT r2 weak #3 / item 6):
+
+- ``value`` — the historical headline: a UNIFORM random graph. This is
+  the adversarial worst case: senders are information-theoretically
+  unlocalizable, so the step is bound by XLA's locality-insensitive
+  per-row gather cost (benchmarks/locality_probe.py).
+- ``skewed_*`` — a community-structured power-law graph (degree-
+  corrected SBM, the structure real citation graphs have), SCRAMBLED,
+  then recovered by the framework's preprocessing: LPA cluster
+  reordering (ops/reorder.py) + banded-dense split
+  (prepare_graph(band_window=...), kernels/band_pallas.py). Local edges
+  run as MXU matmuls with no gather at all.
+
 vs_baseline: the reference publishes no numbers; its only quantitative
 anchor is the CI perf threshold "GCN forward, 100k edges in < 5 s"
 (tests/performance/test_large_graphs.py:86-107) => 20,000 edges/s. The
 ratio is cross-hardware (CI CPU vs one TPU chip) — recorded for lack of any
 reference-published alternative; BENCH history tracks absolute edges/s.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 """
 
 from __future__ import annotations
@@ -32,7 +45,7 @@ REFERENCE_EDGES_PER_S = 100_000 / 5.0  # reference CI threshold anchor
 USE_BF16 = True  # bf16 activations/messages, fp32 loss & accumulation
 
 
-def build_workload():
+def build_workload(kind: str = "uniform"):
     import jax
     import jax.numpy as jnp
 
@@ -41,18 +54,39 @@ def build_workload():
 
     rng = np.random.default_rng(0)
     x = rng.standard_normal((ARXIV_NODES, ARXIV_FEATS)).astype(np.float32)
-    # Symmetric (undirected) random graph — standard ogbn-arxiv GCN
-    # preprocessing symmetrizes the citation edges; with Aᵀ=A the SpMM
-    # backward reuses the forward kernels.
-    half = ARXIV_EDGES // 2
-    a = rng.integers(0, ARXIV_NODES, half).astype(np.int32)
-    b = rng.integers(0, ARXIV_NODES, half).astype(np.int32)
-    senders = np.concatenate([a, b])
-    receivers = np.concatenate([b, a])
+    band_window = None
+    if kind == "uniform":
+        # Symmetric (undirected) random graph — standard ogbn-arxiv GCN
+        # preprocessing symmetrizes the citation edges; with Aᵀ=A the SpMM
+        # backward reuses the forward kernels.
+        half = ARXIV_EDGES // 2
+        a = rng.integers(0, ARXIV_NODES, half).astype(np.int32)
+        b = rng.integers(0, ARXIV_NODES, half).astype(np.int32)
+        senders = np.concatenate([a, b])
+        receivers = np.concatenate([b, a])
+    else:
+        # Community-structured power-law graph (scrambled), recovered by
+        # the framework's LPA cluster reordering — the banded-dense tier
+        # then absorbs the local majority of edges.
+        from keras_geometric_tpu.data.datasets.synthetic import (
+            community_graph,
+        )
+        from keras_geometric_tpu.ops import reorder
+
+        ei = community_graph(ARXIV_NODES, 2 * (ARXIV_EDGES // 2), seed=0)
+        s_r, r_r = ei[0].astype(np.int64), ei[1].astype(np.int64)
+        order = reorder.cluster_order(s_r, r_r, ARXIV_NODES)
+        inv = reorder.invert_order(order)
+        senders, receivers = inv[s_r], inv[r_r]
+        x = x[order]  # features follow the node relabeling
+        band_window = 1024
     y = rng.integers(0, ARXIV_CLASSES, ARXIV_NODES).astype(np.int32)
+    if kind != "uniform":
+        y = y[np.asarray(order)]
 
     # Framework-prescribed preprocessing (once, on host): self-loops +
-    # GCN norm + kernel tables.
+    # GCN norm + kernel tables (+ the banded-dense split for the
+    # reordered community graph).
     ctx = prepare_graph(
         np.stack([senders, receivers]),
         ARXIV_NODES,
@@ -61,6 +95,7 @@ def build_workload():
         symmetric=True,
         densify_self_loops=True,  # diag applied densely; N fewer streamed edges
         pad_nodes=True,  # node axis at kernel grain: no slice-copy per scatter
+        band_window=band_window,
     )
     n_pad = ctx.num_nodes
     x = np.pad(x, ((0, n_pad - ARXIV_NODES), (0, 0)))
@@ -80,6 +115,14 @@ def build_workload():
             edge_weight=ctx.edge_weight.astype(compute_dtype),
             self_weight=ctx.self_weight.astype(compute_dtype),
         )
+    # The ~350 MB band array must enter the jit as a runtime ARGUMENT:
+    # a closure constant is serialized into the compile payload (the
+    # tunneled remote-compile service rejects it) and bloats the
+    # executable.
+    band_arr = None
+    if ctx.band is not None:
+        band_arr = ctx.band.band.astype(compute_dtype)
+        ctx = ctx._replace(band=ctx.band._replace(band=None))
     # Keep x on device in f32 and cast INSIDE the jitted step: XLA's random
     # gather degrades ~3.5x when its source is a jit parameter; the cast
     # output is an intermediate, which gathers at full speed (and the
@@ -94,16 +137,19 @@ def build_workload():
     # x is a runtime ARGUMENT (not a closure constant): a captured constant
     # lets XLA fold the bf16 cast away, and the random gather reading a jit
     # parameter runs ~3.5x slower than one reading an intermediate.
-    def loss_fn(params, x):
+    def loss_fn(params, x, band_arr):
         from keras_geometric_tpu.nn.module import get_activation
 
+        c = ctx
+        if band_arr is not None:
+            c = ctx._replace(band=ctx.band._replace(band=band_arr))
         # bf16 IO / fp32 master params: cast per step (free — fused into
         # the first matmul), gradients accumulate in fp32.
         p = jax.tree_util.tree_map(lambda a: a.astype(compute_dtype), params)
         h = x.astype(compute_dtype)
         layers = encoder._layers()
         for i, layer in enumerate(layers):
-            h = layer.apply(p[f"layer_{i}"], h, context=ctx)
+            h = layer.apply(p[f"layer_{i}"], h, context=c)
             if i < len(layers) - 1:
                 h = get_activation(encoder.activation)(h)
         logp = jax.nn.log_softmax(h.astype(jnp.float32))
@@ -112,11 +158,11 @@ def build_workload():
         # Zero rows of the precomputed one-hot mask out node padding.
         return -jnp.sum(logp * onehot) / ARXIV_NODES
 
-    grad_fn = jax.jit(jax.value_and_grad(loss_fn))
-    return grad_fn, params, x, ctx.num_edges
+    grad_fn = jax.jit(jax.value_and_grad(loss_fn, argnums=0))
+    return grad_fn, params, x, band_arr, ctx
 
 
-def step_roofline(per_step_s: float):
+def step_roofline(per_step_s: float, ctx=None):
     """Analytic HBM-traffic model of one train step (bf16 IO) -> roofline.
 
     Counts every [E, F] edge-stream pass and the dense matmuls/elementwise
@@ -124,25 +170,50 @@ def step_roofline(per_step_s: float):
     weighted scatter; backward vanishes — input features carry no grad),
     L2 fwd + bwd spmm at F=40, the four MXU matmuls, loss, and the
     elementwise glue. BASELINE.json north star: >= 70% HBM utilization.
+
+    With a banded context, each spmm is modeled as: band stream
+    (``n_pad*W``) + two feature-window passes + residual-CSR
+    gather/scatter over the far edges + the tier-sum elementwise add.
     """
     from keras_geometric_tpu.utils.profiling import Roofline
 
-    n, e = ARXIV_NODES, ARXIV_EDGES + ARXIV_NODES  # incl. densified loops
     r = Roofline(chip="v5e")
     b = 2  # bf16
-    # L1: gather writes [E,128] + random-reads ~E rows; weighted scatter
-    # reads [E,128] (+~10% boundary re-reads) + weights, writes [N,128].
-    r.bytes += b * (2 * e * ARXIV_FEATS)  # gather read+write
-    r.bytes += b * (1.1 * e * ARXIV_FEATS + n * ARXIV_FEATS) + 2 * e
-    # L2 fwd + bwd: same shape at F=40 (A symmetric: bwd = same operator).
-    # PHYSICAL bytes: narrow arrays are lane-padded to 128 on TPU, and the
-    # [*, 40] streams measurably cost [*, 128] time (step_breakdown.py;
-    # explicitly padding the class dim to 128 changed the step < 1%), so
-    # the utilization model uses the padded width.
-    classes_phys = 128
-    for _ in range(2):
-        r.bytes += b * (2 * e * classes_phys)
-        r.bytes += b * (1.1 * e * classes_phys + n * classes_phys) + 2 * e
+    classes_phys = 128  # narrow arrays are lane-padded to 128 on TPU
+
+    def spmm_bytes(fp, e, n):
+        # gather read+write + scatter stream (+~10% boundary re-reads) +
+        # output write + weight table.
+        return b * (2 * e * fp) + b * (1.1 * e * fp + n * fp) + 2 * e
+
+    def band_spmm_bytes(fp, n_pad, w, e_res):
+        band = n_pad * w * b  # dense band stream
+        windows = 2 * n_pad * fp * b  # two W/2 feature blocks per row block
+        out = n_pad * fp * b
+        tier_sum = 3 * n_pad * fp * b  # band + residual add
+        return band + windows + out + spmm_bytes(fp, e_res, n_pad)  \
+            + tier_sum
+
+    if ctx is not None and ctx.band is not None:
+        n_pad = ctx.num_nodes
+        w = ctx.band.window
+        e_res = ctx.num_real_edges
+        n = ARXIV_NODES
+        r.bytes += band_spmm_bytes(ARXIV_FEATS, n_pad, w, e_res)
+        for _ in range(2):
+            r.bytes += band_spmm_bytes(classes_phys, n_pad, w, e_res)
+    else:
+        n, e = ARXIV_NODES, ARXIV_EDGES + ARXIV_NODES  # incl. densified loops
+        # L1: gather writes [E,128] + random-reads ~E rows; weighted scatter
+        # reads [E,128] (+~10% boundary re-reads) + weights, writes [N,128].
+        r.bytes += spmm_bytes(ARXIV_FEATS, e, n)
+        # L2 fwd + bwd: same shape at F=40 (A symmetric: bwd = same
+        # operator). PHYSICAL bytes: the [*, 40] streams measurably cost
+        # [*, 128] time (step_breakdown.py), so the model uses the padded
+        # width.
+        for _ in range(2):
+            r.bytes += spmm_bytes(classes_phys, e, n)
+    n = ARXIV_NODES
     # Dense matmuls: h1 = s1@W1, h2 = relu(h1)@W2, dW2, g1 = (Ag2)@W2^T, dW1.
     r.add_matmul(n, ARXIV_FEATS, HIDDEN, b)
     r.add_matmul(n, HIDDEN, ARXIV_CLASSES, b)
@@ -156,16 +227,16 @@ def step_roofline(per_step_s: float):
     return r.report(per_step_s, use_bf16_peak=True)
 
 
-def main():
+def run_workload(kind: str):
     import jax
 
-    grad_fn, params, x, num_edges = build_workload()
+    grad_fn, params, x, band_arr, ctx = build_workload(kind)
 
     # Warmup / compile; force a real device fetch (on relayed/tunneled TPU
     # backends block_until_ready can return before execution completes, so
     # all timing below uses device_get syncs and an iteration-count slope
     # to cancel the fetch round-trip).
-    loss, grads = grad_fn(params, x)
+    loss, grads = grad_fn(params, x, band_arr)
     _ = jax.device_get(loss)
 
     def timed(k: int) -> float:
@@ -173,25 +244,41 @@ def main():
         for _ in range(3):
             t0 = time.perf_counter()
             for _ in range(k):
-                loss, _g = grad_fn(params, x)
+                loss, _g = grad_fn(params, x, band_arr)
             _ = jax.device_get(loss)
             best = min(best, time.perf_counter() - t0)
         return best
 
     k_lo, k_hi = 2, 22
     per_step = (timed(k_hi) - timed(k_lo)) / (k_hi - k_lo)
-    edges_per_s = num_edges / per_step
-    roof = step_roofline(per_step)
+    edges_per_s = ctx.num_edges / per_step
+    roof = step_roofline(per_step, ctx)
+    return {
+        "edges_per_s": round(edges_per_s, 1),
+        "hbm_util": round(roof["hbm_utilization"], 4),
+        "achieved_gbps": round(roof["achieved_gbps"], 1),
+        "per_step_ms": round(per_step * 1e3, 3),
+    }
+
+
+def main():
+    uni = run_workload("uniform")
+    skew = run_workload("community")
     print(
         json.dumps(
             {
                 "metric": "gcn_fwd_bwd_edges_per_s_per_chip",
-                "value": round(edges_per_s, 1),
+                "value": uni["edges_per_s"],
                 "unit": "edges/s",
-                "vs_baseline": round(edges_per_s / REFERENCE_EDGES_PER_S, 2),
-                "hbm_util": round(roof["hbm_utilization"], 4),
-                "achieved_gbps": round(roof["achieved_gbps"], 1),
-                "per_step_ms": round(per_step * 1e3, 3),
+                "vs_baseline": round(
+                    uni["edges_per_s"] / REFERENCE_EDGES_PER_S, 2
+                ),
+                "hbm_util": uni["hbm_util"],
+                "achieved_gbps": uni["achieved_gbps"],
+                "per_step_ms": uni["per_step_ms"],
+                "skewed_value": skew["edges_per_s"],
+                "skewed_hbm_util": skew["hbm_util"],
+                "skewed_per_step_ms": skew["per_step_ms"],
             }
         )
     )

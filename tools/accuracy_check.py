@@ -1,0 +1,127 @@
+"""Arxiv-scale on-TPU training parity: kernelized vs XLA path.
+
+VERDICT r2 item 5(b): one real-TPU training run at ogbn-arxiv scale
+asserting the Pallas (GraphContext) path follows the same loss/accuracy
+trajectory as the plain XLA segment-op path. (The CPU/interpret analog
+lives in tests/test_accuracy_parity.py; this script is the hardware
+gate — run it after kernel changes, alongside tools/tpu_smoke.py.)
+
+    python tools/accuracy_check.py [--steps 60]
+
+Exit code 0 iff trajectories match (relative loss gap < 2% at every
+logged step and final train accuracies within 1 point).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+import numpy as np
+
+N, E, F, HIDDEN, CLASSES = 169_343, 1_166_243, 128, 256, 40
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=60)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from keras_geometric_tpu.data.datasets.synthetic import community_graph
+    from keras_geometric_tpu.models import GNNEncoder
+    from keras_geometric_tpu.nn.module import get_activation
+    from keras_geometric_tpu.ops.csr import prepare_graph
+    from keras_geometric_tpu.training import TrainState
+
+    rng = np.random.default_rng(0)
+    ei = community_graph(N, 2 * (E // 2), seed=0)
+    x_np = rng.standard_normal((N, F)).astype(np.float32)
+    # Learnable labels: communities carry the signal (label = community
+    # id mod CLASSES), so the loss trajectory is non-trivial.
+    y_np = ((ei[:, :1] * 0).sum() + (np.arange(N) // 512) % CLASSES).astype(
+        np.int32
+    )
+    x = jnp.asarray(x_np)
+    y = jnp.asarray(y_np)
+
+    ctx = prepare_graph(
+        ei, N, add_self_loops=True, gcn_normalize=True, symmetric=True,
+    )
+    enc = GNNEncoder(
+        conv="gcn", hidden_dims=(HIDDEN, CLASSES),
+        conv_kwargs=tuple(
+            {"add_self_loops": False, "normalize": False}.items()
+        ),
+    )
+    params0 = enc.init(jax.random.PRNGKey(0), F)
+    tx = optax.adam(1e-2)
+
+    def forward(p, x, use_ctx: bool):
+        h = x
+        layers = enc._layers()
+        for i, layer in enumerate(layers):
+            if use_ctx:
+                h = layer.apply(p[f"layer_{i}"], h, context=ctx)
+            else:
+                h = layer.apply(
+                    p[f"layer_{i}"], h, ctx.edge_index,
+                    edge_weight=ctx.edge_weight,
+                )
+            if i < len(layers) - 1:
+                h = get_activation(enc.activation)(h)
+        return h
+
+    def make_step(use_ctx):
+        def loss_fn(p, x):
+            logits = forward(p, x, use_ctx)
+            logp = jax.nn.log_softmax(logits.astype(jnp.float32))
+            nll = -jnp.take_along_axis(logp, y[:, None], axis=1)[:, 0]
+            return jnp.mean(nll)
+
+        @jax.jit
+        def step(state, x):
+            loss, grads = jax.value_and_grad(loss_fn)(state.params, x)
+            updates, opt_state = tx.update(
+                grads, state.opt_state, state.params
+            )
+            params = optax.apply_updates(state.params, updates)
+            return TrainState(
+                params=params, opt_state=opt_state,
+                step=state.step + 1, rng=state.rng,
+            ), loss
+
+        return step
+
+    def accuracy(p, use_ctx):
+        pred = jnp.argmax(forward(p, x, use_ctx), axis=-1)
+        return float(jnp.mean((pred == y).astype(jnp.float32)))
+
+    results = {}
+    for name, use_ctx in (("xla", False), ("kernel", True)):
+        state = TrainState.create(params0, tx, jax.random.PRNGKey(1))
+        step = make_step(use_ctx)
+        losses = []
+        for i in range(args.steps):
+            state, loss = step(state, x)
+            if i % 10 == 0 or i == args.steps - 1:
+                losses.append(float(loss))
+        acc = accuracy(state.params, use_ctx)
+        results[name] = (losses, acc)
+        print(f"{name}: losses {['%.4f' % v for v in losses]} "
+              f"final train acc {acc:.4f}", flush=True)
+
+    lx, ax = results["xla"]
+    lk, ak = results["kernel"]
+    gaps = [abs(a - b) / max(abs(a), 1e-6) for a, b in zip(lx, lk)]
+    ok = max(gaps) < 0.02 and abs(ax - ak) < 0.01
+    print(f"max relative loss gap {max(gaps):.4f}; "
+          f"acc gap {abs(ax - ak):.4f}; {'OK' if ok else 'DIVERGED'}")
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
