@@ -70,18 +70,24 @@ def main():
 
     # Forward pieces.
     t("take hj [E,256]", lambda h: jnp.take(h, ctx.senders, axis=0), ht)
-    t("sddmm+stats fused", lambda h, j: SD.sddmm_stats_sorted(
+    t("sddmm+stats fused (r3 two-pass piece)",
+      lambda h, j: SD.sddmm_stats_sorted(
         h, j, att, tables=ctx.fwd_tables, num_nodes=ctx.num_nodes,
         edge_valid=ctx.edge_mask), ht, hj)
-    t("agg fwd", lambda s, j: AP.attend_aggregate_sorted(
+    t("agg fwd (r3 two-pass piece)",
+      lambda s, j: AP.attend_aggregate_sorted(
         s, m, l, j, tables=ctx.fwd_tables), scores, hj)
+    t("stats+agg fused (r4 one-pass fwd)",
+      lambda h, j: SD.sddmm_stats_agg_sorted(
+        h, j, att, tables=ctx.fwd_tables, num_nodes=ctx.num_nodes,
+        edge_valid=ctx.edge_mask), ht, hj)
 
     # Backward pieces.
-    t("alpha_bwd (da, rho)", lambda gg, j: AP.attend_alpha_bwd_sorted(
+    t("rho pass (r4)", lambda gg, j: AP.attend_rho_sorted(
         gg, scores, m, l, j, tables=ctx.fwd_tables), g, hj)
     t("recv_bwd_full (dht, datt, v)",
       lambda gg, j: AP.attend_recv_bwd_full_sorted(
-          ht, gg, j, att, scores, m, l, rho, da, tables=ctx.fwd_tables),
+          ht, gg, j, att, scores, m, l, rho, tables=ctx.fwd_tables),
       g, hj)
     t("permute v [E,256]", lambda vv: jnp.take(vv, ctx.bwd_perm, axis=0),
       v)

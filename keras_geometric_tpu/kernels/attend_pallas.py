@@ -39,7 +39,7 @@ from .spmm_pallas import RowTables, _dots
 
 __all__ = [
     "attend_aggregate_sorted",
-    "attend_alpha_bwd_sorted",
+    "attend_rho_sorted",
     "attend_recv_bwd_full_sorted",
 ]
 
@@ -224,8 +224,8 @@ def attend_aggregate_sorted(
 # --------------------------------------------------------------------------
 
 
-def _alpha_bwd_kernel(
-    wb_ref, wc_ref, wcf_ref, wf_ref,  # SMEM scalars (4 prefetch)
+def _rho_kernel(
+    wb_ref, wc_ref, wf_ref,  # SMEM scalars (3 prefetch)
     bounds_ref,  # [1, 2, RB]
     g_ref,  # [RB, D] output cotangent rows
     ml_ref,  # [RB, 2K]
@@ -240,9 +240,9 @@ def _alpha_bwd_kernel(
     dropped: bool,
 ):
     if dropped:
-        drop_ref, da_ref, rho_ref, da_acc, rho_acc = rest
+        drop_ref, rho_ref, rho_acc = rest
     else:
-        da_ref, rho_ref, da_acc, rho_acc = rest
+        rho_ref, rho_acc = rest
         drop_ref = None
     w = pl.program_id(0)
     base = wc_ref[w] * edge_chunk
@@ -258,24 +258,9 @@ def _alpha_bwd_kernel(
         dalpha = dalpha * drop_ref[:].astype(jnp.float32)
     rho_contrib = _dots(hit, alpha * dalpha, precision, ((1,), (0,)))
 
-    cf = wcf_ref[w]
-    c_first = (cf & 1) == 1
-    c_last = (cf & 2) == 2
     bf = wf_ref[w]
     b_first = (bf & 1) == 1
     b_last = (bf & 2) == 2
-
-    @pl.when(c_first)
-    def _():
-        da_acc[:] = dalpha
-
-    @pl.when(jnp.logical_not(c_first))
-    def _():
-        da_acc[:] += dalpha
-
-    @pl.when(c_last)
-    def _():
-        da_ref[:] = da_acc[:].astype(da_ref.dtype)
 
     @pl.when(b_first)
     def _():
@@ -290,7 +275,7 @@ def _alpha_bwd_kernel(
         rho_ref[:] = rho_acc[:].astype(rho_ref.dtype)
 
 
-def attend_alpha_bwd_sorted(
+def attend_rho_sorted(
     g: jax.Array,  # [N, D] output cotangent
     scores: jax.Array,  # [E, K] f32
     m: jax.Array,
@@ -301,10 +286,11 @@ def attend_alpha_bwd_sorted(
     eps: float = 1e-10,
     drop_mask: jax.Array | None = None,
     precision=None,
-) -> tuple[jax.Array, jax.Array]:
-    """Slim aggregation-branch backward: ``(d_alpha [E, K] f32,
-    rho [N_pad, K] f32)`` — no wide d_hj output (the sender kernel
-    recomputes it in-register)."""
+) -> jax.Array:
+    """Softmax-Jacobian row term ``rho [N_pad, K] f32`` only (r4 slim:
+    the r3 version also wrote d_alpha [E, K] to HBM, but the recv-grid
+    kernel recomputes d_alpha in-register from the same g expand it
+    already performs — the extra stream bought nothing)."""
     e, d = hj.shape
     k = scores.shape[1]
     ec, rb = tables.edge_chunk, tables.row_block
@@ -327,17 +313,17 @@ def attend_alpha_bwd_sorted(
             else jax.lax.Precision.DEFAULT
         )
     in_specs = [
-        pl.BlockSpec((1, 2, rb), lambda w, b, c, fl, f2: (b[w], 0, 0),
+        pl.BlockSpec((1, 2, rb), lambda w, b, c, fl: (b[w], 0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((rb, d), lambda w, b, c, fl, f2: (b[w], 0),
+        pl.BlockSpec((rb, d), lambda w, b, c, fl: (b[w], 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((rb, 2 * k), lambda w, b, c, fl, f2: (b[w], 0),
+        pl.BlockSpec((rb, 2 * k), lambda w, b, c, fl: (b[w], 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((ec, k), lambda w, b, c, fl, f2: (c[w], 0),
+        pl.BlockSpec((ec, k), lambda w, b, c, fl: (c[w], 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((ec, d), lambda w, b, c, fl, f2: (c[w], 0),
+        pl.BlockSpec((ec, d), lambda w, b, c, fl: (c[w], 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((d, k), lambda w, b, c, fl, f2: (0, 0),
+        pl.BlockSpec((d, k), lambda w, b, c, fl: (0, 0),
                      memory_space=pltpu.VMEM),
     ]
     args = [jnp.asarray(tables.bounds), g_p, ml, s_p, hj_p, sel]
@@ -347,35 +333,25 @@ def attend_alpha_bwd_sorted(
             drop_mask.astype(jnp.float32), ((0, e_pad - e), (0, 0))
         )
         in_specs.append(
-            pl.BlockSpec((ec, k), lambda w, b, c, fl, f2: (c[w], 0),
+            pl.BlockSpec((ec, k), lambda w, b, c, fl: (c[w], 0),
                          memory_space=pltpu.VMEM)
         )
         args.append(dm)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=4,
+        num_scalar_prefetch=3,
         grid=(tables.num_work,),
         in_specs=in_specs,
-        out_specs=[
-            pl.BlockSpec((ec, k), lambda w, b, c, fl, f2: (c[w], 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((rb, k), lambda w, b, c, fl, f2: (b[w], 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        scratch_shapes=[
-            pltpu.VMEM((ec, k), jnp.float32),
-            pltpu.VMEM((rb, k), jnp.float32),
-        ],
+        out_specs=pl.BlockSpec((rb, k), lambda w, b, c, fl: (b[w], 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((rb, k), jnp.float32)],
     )
-    da, rho = pl.pallas_call(
+    rho = pl.pallas_call(
         functools.partial(
-            _alpha_bwd_kernel, edge_chunk=ec, k=k, eps=float(eps),
+            _rho_kernel, edge_chunk=ec, k=k, eps=float(eps),
             precision=precision, dropped=dropped,
         ),
         grid_spec=grid_spec,
-        out_shape=[
-            jax.ShapeDtypeStruct((e_pad, k), jnp.float32),
-            jax.ShapeDtypeStruct((n_pad, k), jnp.float32),
-        ],
+        out_shape=jax.ShapeDtypeStruct((n_pad, k), jnp.float32),
         cost_estimate=pl.CostEstimate(
             flops=6 * tables.num_work * ec * (rb + k) * d,
             bytes_accessed=tables.num_work * ec * d * hj.dtype.itemsize,
@@ -384,11 +360,10 @@ def attend_alpha_bwd_sorted(
     )(
         jnp.asarray(tables.work_block),
         jnp.asarray(tables.work_chunk),
-        jnp.asarray(tables.work_cfirst),
         jnp.asarray(tables.work_first),
         *args,
     )
-    return da[:e], rho
+    return rho
 
 
 def _recv_bwd_full_kernel(
@@ -398,10 +373,10 @@ def _recv_bwd_full_kernel(
     g_ref,  # [RB, D] output-cotangent rows (receiver blocks)
     mlr_ref,  # [RB, 3K] (m | l | rho)
     s_ref,  # [EC, K]
-    da_ref,  # [EC, K] d_alpha (drop-scaled)
     hj_ref,  # [EC, D]
     att_ref,  # [1, D]
     selt_ref,  # [K, D]
+    sel_ref,  # [D, K]
     *rest,
     edge_chunk: int,
     k: int,
@@ -428,10 +403,18 @@ def _recv_bwd_full_kernel(
     inblk = jnp.sum(onehot_t, axis=1, keepdims=True) > 0.0
     s = s_ref[:].astype(jnp.float32)
     alpha = jnp.where(inblk, jnp.exp(s - m_e) / (l_e + eps), 0.0)
-    ds = alpha * (da_ref[:].astype(jnp.float32) - rho_e)  # 0 out-of-block
+    hjf = hj_ref[:].astype(jnp.float32)
+    # d_alpha in-register from the g expand this kernel performs anyway
+    # (r4: the separate [E, K] d_alpha stream from the rho pass bought
+    # nothing — same g_b, one extra MXU op here).
+    g_b = _dots(onehot_t, g_ref[:], precision, ((1,), (0,)))  # [EC, D]
+    da = _dots_data_lhs(g_b * hjf, sel_ref[:], precision, ((1,), (0,)))
+    if dropped:
+        da = da * drop_ref[:].astype(jnp.float32)
+    ds = alpha * (da - rho_e)  # 0 out-of-block
 
     hi_b = _dots(onehot_t, rows_ref[:], precision, ((1,), (0,)))
-    pre = hi_b + hj_ref[:].astype(jnp.float32)
+    pre = hi_b + hjf
     lmask = jnp.where(pre > 0, 1.0, negative_slope)
     dse = _dots_data_lhs(ds, selt_ref[:], precision, ((1,), (0,)))
     att_row = att_ref[0:1, :].astype(jnp.float32)
@@ -466,7 +449,6 @@ def _recv_bwd_full_kernel(
         alpha_keep = alpha * drop_ref[:].astype(jnp.float32)
     else:
         alpha_keep = alpha
-    g_b = _dots(onehot_t, g_ref[:], precision, ((1,), (0,)))  # [EC, D]
     akd = _dots_data_lhs(alpha_keep, selt_ref[:], precision,
                          ((1,), (0,)))
     v_contrib = akd * g_b + dpre
@@ -508,7 +490,6 @@ def attend_recv_bwd_full_sorted(
     m: jax.Array,
     l: jax.Array,
     rho: jax.Array,  # [N_pad or N, K] f32
-    d_alpha: jax.Array,  # [E, K] f32 (drop-scaled)
     *,
     tables: RowTables,
     eps: float = 1e-10,
@@ -519,6 +500,8 @@ def attend_recv_bwd_full_sorted(
     """Receiver-grid backward emitting the FULL per-edge sender
     cotangent: returns ``(d_ht_recv [N_pad, D], datt [K, F], v [E, D])``
     where ``v = alpha_keep * g[recv] + d_pre`` in receiver-sorted order.
+    d_alpha is recomputed in-register from the g expand (r4 — no [E, K]
+    d_alpha stream from the rho pass).
 
     The caller finishes the sender side with ONE edge permute + sorted
     scatter — replacing the three node-table random gathers + sender-grid
@@ -533,7 +516,6 @@ def attend_recv_bwd_full_sorted(
     e_pad = ((e + ec - 1) // ec) * ec
     n_pad = nb * rb
     s_p = jnp.pad(scores.astype(jnp.float32), ((0, e_pad - e), (0, 0)))
-    da_p = jnp.pad(d_alpha.astype(jnp.float32), ((0, e_pad - e), (0, 0)))
     hj_p = jnp.pad(hj, ((0, e_pad - e), (0, 0)))
     rows = jnp.pad(ht, ((0, n_pad - ht.shape[0]), (0, 0)))
     g_rows = jnp.pad(
@@ -547,7 +529,8 @@ def attend_recv_bwd_full_sorted(
         ((0, n_pad - m.shape[0]), (0, 0)),
     )
     att_flat = att.reshape(1, d)
-    selt = head_selector(k, d // k).T
+    sel = head_selector(k, d // k)
+    selt = sel.T
     if precision is None:
         precision = (
             "split2" if hj.dtype == jnp.float32
@@ -565,17 +548,17 @@ def attend_recv_bwd_full_sorted(
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((ec, k), lambda w, b, c, fl, f2: (c[w], 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((ec, k), lambda w, b, c, fl, f2: (c[w], 0),
-                     memory_space=pltpu.VMEM),
         pl.BlockSpec((ec, d), lambda w, b, c, fl, f2: (c[w], 0),
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((1, d), lambda w, b, c, fl, f2: (0, 0),
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((k, d), lambda w, b, c, fl, f2: (0, 0),
                      memory_space=pltpu.VMEM),
+        pl.BlockSpec((d, k), lambda w, b, c, fl, f2: (0, 0),
+                     memory_space=pltpu.VMEM),
     ]
-    args = [jnp.asarray(tables.bounds), rows, g_rows, mlr, s_p, da_p,
-            hj_p, att_flat, selt]
+    args = [jnp.asarray(tables.bounds), rows, g_rows, mlr, s_p,
+            hj_p, att_flat, selt, sel]
     if dropped:
         dm = jnp.pad(drop_mask.astype(jnp.float32),
                      ((0, e_pad - e), (0, 0)))

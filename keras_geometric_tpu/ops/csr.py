@@ -436,24 +436,21 @@ _sddmm.defvjp(_sddmm_fwd, _sddmm_bwd)
 def _attend_fwd_compute(ht, att, arrays, fwd_tables, exp_tables, num_nodes,
                         heads, negative_slope, eps):
     """Kernel-complete fused attention forward: random gather + ONE
-    fused SDDMM+online-softmax-stats pass (kernels/sddmm_pallas.
-    sddmm_stats_sorted — the r2 separate stats pass re-streamed the
-    scores for ~6 ms at arxiv scale) + one-pass alpha/broadcast/message/
-    scatter (kernels/attend_pallas.py). alpha never hits HBM; padded
+    kernel (kernels/sddmm_pallas.sddmm_stats_agg_sorted — r4 fuses the
+    SDDMM scores, the online softmax stats AND the alpha-weighted
+    aggregation into a single pass; the r3 two-pass layout cost ~17 ms
+    at arxiv scale, benchmarks/RESULTS.md). alpha never hits HBM; padded
     slots (inside the last row's intervals) are -inf'd in-kernel."""
     senders, receivers, edge_mask, _perm, _ss, _rss, drop_mask, \
         _mask_ss = arrays
     f = att.shape[-1]
     hj = jnp.take(ht, senders, axis=0)  # [E, H*F] random gather
-    scores, m, l = sddmm_pallas.sddmm_stats_sorted(
+    out, scores, m, l = sddmm_pallas.sddmm_stats_agg_sorted(
         ht, hj, att.reshape(heads, f), tables=fwd_tables,
         num_nodes=num_nodes, edge_valid=edge_mask,
-        negative_slope=negative_slope,
+        negative_slope=negative_slope, eps=eps, drop_mask=drop_mask,
     )
-    out = attend_pallas.attend_aggregate_sorted(
-        scores, m, l, hj, tables=fwd_tables, eps=eps, drop_mask=drop_mask,
-    )[:num_nodes]
-    return out, (hj, scores, m, l)
+    return out[:num_nodes], (hj, scores, m, l)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8, 9))
@@ -480,8 +477,9 @@ def _gatv2_attend_bwd(fwd_tables, exp_tables, bwd_tables, num_nodes, heads,
     """Single-permute kernel-complete backward (two Pallas passes + one
     edge permute + one sorted scatter; kernels/attend_pallas.py):
 
-    1. ``attend_alpha_bwd_sorted`` (receiver grid): d_alpha and the
-       softmax-Jacobian row term rho;
+    1. ``attend_rho_sorted`` (receiver grid): the softmax-Jacobian row
+       term rho (r4 slim: no d_alpha stream — the next pass recomputes
+       it in-register from the same g expand);
     2. ``attend_recv_bwd_full_sorted`` (receiver grid): ds = alpha
        (d_alpha - rho_e), d_pre formed in-register and scattered straight
        into d ht; emits datt AND the total per-edge sender cotangent
@@ -503,12 +501,12 @@ def _gatv2_attend_bwd(fwd_tables, exp_tables, bwd_tables, num_nodes, heads,
     f = att.shape[-1]
     att_hf = att.reshape(heads, f)
 
-    d_alpha, rho = attend_pallas.attend_alpha_bwd_sorted(
+    rho = attend_pallas.attend_rho_sorted(
         g, scores, m, l, hj, tables=fwd_tables, eps=eps,
         drop_mask=drop_mask,
     )
     dht, datt, v = attend_pallas.attend_recv_bwd_full_sorted(
-        ht, g, hj, att_hf, scores, m, l, rho, d_alpha,
+        ht, g, hj, att_hf, scores, m, l, rho,
         tables=fwd_tables, eps=eps, negative_slope=negative_slope,
         drop_mask=drop_mask,
     )

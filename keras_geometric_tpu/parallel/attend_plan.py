@@ -162,14 +162,12 @@ def _attend_fwd_compute(ht_src, ht_recv, att, arrays, meta):
     fwd_tables = _unflat_tables(fwd_flat, ec, rb_fwd)
     del exp_flat  # expand tables only serve the (unused) separate sddmm
     hj = jnp.take(ht_src, senders, axis=0)
-    scores, m, l = sddmm_pallas.sddmm_stats_sorted(
+    out, scores, m, l = sddmm_pallas.sddmm_stats_agg_sorted(
         ht_recv, hj, att, tables=fwd_tables, num_nodes=num_local,
-        edge_valid=edge_valid, negative_slope=negative_slope,
+        edge_valid=edge_valid, negative_slope=negative_slope, eps=eps,
+        drop_mask=drop_mask,
     )
-    out = attend_pallas.attend_aggregate_sorted(
-        scores, m, l, hj, tables=fwd_tables, eps=eps, drop_mask=drop_mask,
-    )[:num_local]
-    return out, (hj, scores, m, l)
+    return out[:num_local], (hj, scores, m, l)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
@@ -197,12 +195,12 @@ def _attend_dist_bwd(meta, saved, g):
     fwd_tables = _unflat_tables(fwd_flat, ec, rb_fwd)
     bwd_tables = _unflat_tables(bwd_flat, ec, rb_bwd)
 
-    d_alpha, rho = attend_pallas.attend_alpha_bwd_sorted(
+    rho = attend_pallas.attend_rho_sorted(
         g, scores, m, l, hj, tables=fwd_tables, eps=eps,
         drop_mask=drop_mask,
     )
     dht_recv, datt, v = attend_pallas.attend_recv_bwd_full_sorted(
-        ht_recv, g, hj, att, scores, m, l, rho, d_alpha,
+        ht_recv, g, hj, att, scores, m, l, rho,
         tables=fwd_tables, eps=eps, negative_slope=negative_slope,
         drop_mask=drop_mask,
     )
