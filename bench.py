@@ -100,12 +100,8 @@ def build_workload(kind: str = "uniform"):
     n_pad = ctx.num_nodes
     x = np.pad(x, ((0, n_pad - ARXIV_NODES), (0, 0)))
 
-    encoder = GNNEncoder(
-        conv="gcn",
-        hidden_dims=(HIDDEN, ARXIV_CLASSES),
-        conv_kwargs=tuple(
-            {"add_self_loops": False, "normalize": False}.items()
-        ),
+    encoder = GNNEncoder.for_context(
+        conv="gcn", hidden_dims=(HIDDEN, ARXIV_CLASSES)
     )
     params = encoder.init(jax.random.PRNGKey(0), ARXIV_FEATS)
 
@@ -261,9 +257,62 @@ def run_workload(kind: str):
     }
 
 
+def _aggregate(rows: list[dict]) -> dict:
+    """Median/min/spread across fresh-process repeats of one row.
+
+    The XLA random gather is allocation-bistable across processes (the
+    "gather lottery", benchmarks/RESULTS.md): a single draw can land in
+    either mode, so the headline is the MEDIAN of K fresh subprocesses,
+    with min and relative spread reported alongside (VERDICT r3 item 7).
+    """
+    vals = sorted(r["edges_per_s"] for r in rows)
+    med = vals[len(vals) // 2]
+    best = rows[max(range(len(rows)),
+                    key=lambda i: rows[i]["edges_per_s"])]
+    spread = (vals[-1] - vals[0]) / med if med else 0.0
+    mid = next(r for r in rows if r["edges_per_s"] == med)
+    return {
+        "edges_per_s": med,
+        "min": vals[0],
+        "max": vals[-1],
+        "spread": round(spread, 4),
+        "hbm_util": mid["hbm_util"],
+        "achieved_gbps": mid["achieved_gbps"],
+        "per_step_ms": mid["per_step_ms"],
+        "best_per_step_ms": best["per_step_ms"],
+    }
+
+
+def _run_children(kind: str, k: int) -> dict:
+    import os
+    import subprocess
+    import sys
+
+    rows = []
+    for _ in range(k):
+        p = subprocess.run(
+            [sys.executable, __file__, "--child", kind],
+            capture_output=True, text=True, env=dict(os.environ),
+            timeout=1200,
+        )
+        lines = [ln for ln in p.stdout.splitlines() if ln.startswith("{")]
+        if not lines:
+            sys.stderr.write(p.stderr[-4000:] + "\n")
+            raise RuntimeError(f"bench child ({kind}) produced no result")
+        rows.append(json.loads(lines[-1]))
+    return _aggregate(rows)
+
+
 def main():
-    uni = run_workload("uniform")
-    skew = run_workload("community")
+    import sys
+
+    if len(sys.argv) > 2 and sys.argv[1] == "--child":
+        print(json.dumps(run_workload(sys.argv[2])))
+        return
+    repeats = int(sys.argv[sys.argv.index("--repeats") + 1]) \
+        if "--repeats" in sys.argv else 3
+    uni = _run_children("uniform", repeats)
+    skew = _run_children("community", repeats)
     print(
         json.dumps(
             {
@@ -273,12 +322,17 @@ def main():
                 "vs_baseline": round(
                     uni["edges_per_s"] / REFERENCE_EDGES_PER_S, 2
                 ),
+                "value_min": uni["min"],
+                "value_spread": uni["spread"],
                 "hbm_util": uni["hbm_util"],
                 "achieved_gbps": uni["achieved_gbps"],
                 "per_step_ms": uni["per_step_ms"],
                 "skewed_value": skew["edges_per_s"],
+                "skewed_value_min": skew["min"],
+                "skewed_value_spread": skew["spread"],
                 "skewed_hbm_util": skew["hbm_util"],
                 "skewed_per_step_ms": skew["per_step_ms"],
+                "repeats_per_row": repeats,
             }
         )
     )

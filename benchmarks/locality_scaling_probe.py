@@ -25,6 +25,9 @@ def main():
     from keras_geometric_tpu.data.datasets.synthetic import community_graph
     from keras_geometric_tpu.ops import reorder
     from keras_geometric_tpu.parallel import build_halo_plan, partition_graph
+    from keras_geometric_tpu.parallel.partition import (
+        community_partition_order,
+    )
 
     rng = np.random.default_rng(0)
     half = ARXIV_EDGES // 2
@@ -33,30 +36,45 @@ def main():
     uniform = np.stack([np.concatenate([a, b]), np.concatenate([b, a])])
 
     comm = community_graph(ARXIV_NODES, 2 * half, seed=0)
-    s, r = comm[0].astype(np.int64), comm[1].astype(np.int64)
-    t0 = time.perf_counter()
-    order = reorder.cluster_order(s, r, ARXIV_NODES)
-    inv = reorder.invert_order(order)
-    t_order = time.perf_counter() - t0
-    comm_sorted = np.stack([inv[s], inv[r]])
-    print(f"# cluster_order: {t_order:.1f}s")
+    comm_loc = community_graph(
+        ARXIV_NODES, 2 * half, seed=0, inter_locality=0.35
+    )
 
-    graphs = [
+    def frac(ei, p):
+        pg = partition_graph(
+            ei, ARXIV_NODES, p, gcn_normalize=True, add_self_loops=True
+        )
+        plan = build_halo_plan(pg)
+        return plan.halo_size, plan.comm_fraction
+
+    print("# graph | P | halo H | comm_frac (halo / all-gather)")
+    for name, ei in (
         ("uniform", uniform),
-        ("community/scrambled", comm),
-        ("community/reordered", comm_sorted),
-    ]
-    print("# graph | P | halo H | comm_fraction (halo / all-gather)")
-    for name, ei in graphs:
+        ("community flat", comm),
+        ("community local", comm_loc),
+    ):
+        s, r = ei[0].astype(np.int64), ei[1].astype(np.int64)
+        t0 = time.perf_counter()
+        order = reorder.cluster_order(s, r, ARXIV_NODES)
+        inv = reorder.invert_order(order)
+        reordered = np.stack([inv[s], inv[r]])
+        t_order = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        labels = reorder.lpa_labels(s, r, ARXIV_NODES, iters=25, tol=0.002)
+        t_lpa = time.perf_counter() - t0
+        print(f"# {name}: cluster_order {t_order:.1f}s")
         for p in (2, 4, 8):
-            pg = partition_graph(
-                ei, ARXIV_NODES, p, gcn_normalize=True,
-                add_self_loops=True,
+            h0, f0 = frac(ei, p)
+            h1, f1 = frac(reordered, p)
+            o2 = community_partition_order(
+                s, r, ARXIV_NODES, p, labels=labels
             )
-            plan = build_halo_plan(pg)
+            inv2 = reorder.invert_order(o2)
+            h2, f2 = frac(np.stack([inv2[s], inv2[r]]), p)
             print(
-                f"{name:22s} P={p}  H={plan.halo_size:7d}  "
-                f"comm_frac={plan.comm_fraction:.3f}"
+                f"{name:16s} P={p}  scrambled {f0:.3f} (H={h0})  "
+                f"cluster_order {f1:.3f} (H={h1})  "
+                f"min-cut binpack {f2:.3f} (H={h2})"
             )
 
 

@@ -70,12 +70,9 @@ def main():
     y = jnp.asarray(labels)
     mask = jnp.asarray(np.arange(ctx.num_nodes) < n)
 
-    enc = GNNEncoder(
-        conv="gcn", hidden_dims=(64, classes),
-        conv_kwargs=tuple(
-            {"add_self_loops": False, "normalize": False}.items()
-        ),
-    )
+    # for_context folds the GraphContext flag requirements in
+    # (add_self_loops=False, normalize=False) — see GCNConv.for_context.
+    enc = GNNEncoder.for_context(conv="gcn", hidden_dims=(64, classes))
     params = enc.init(jax.random.PRNGKey(0), 64)
     tx = optax.adam(1e-2)
     state = TrainState.create(params, tx, jax.random.PRNGKey(1))

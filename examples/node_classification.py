@@ -75,14 +75,17 @@ def main():
             np.asarray(edge_index), x.shape[0],
             add_self_loops=True, gcn_normalize=True,
         )
-        conv_kwargs = {"add_self_loops": False, "normalize": False}
+        # for_context sets add_self_loops=False, normalize=False —
+        # those are folded into prepare_graph above.
+        conv1 = kgt.GCNConv.for_context(
+            output_dim=args.hidden, dropout_rate=args.dropout
+        )
+        conv2 = kgt.GCNConv.for_context(output_dim=num_classes)
     else:
-        conv_kwargs = {}
-
-    conv1 = kgt.GCNConv(
-        output_dim=args.hidden, dropout_rate=args.dropout, **conv_kwargs
-    )
-    conv2 = kgt.GCNConv(output_dim=num_classes, **conv_kwargs)
+        conv1 = kgt.GCNConv(
+            output_dim=args.hidden, dropout_rate=args.dropout
+        )
+        conv2 = kgt.GCNConv(output_dim=num_classes)
 
     key = jax.random.PRNGKey(0)
     k1, k2 = jax.random.split(key)

@@ -153,6 +153,7 @@ def community_graph(
     power: float = 0.8,
     seed: int = 0,
     scramble: bool = True,
+    inter_locality: float = 0.0,
 ) -> np.ndarray:
     """Community-structured power-law graph (degree-corrected SBM).
 
@@ -164,6 +165,16 @@ def community_graph(
     ``scramble=True`` (default) applies a random node relabeling, so a
     consumer must *recover* the latent structure with a reordering pass
     (ops/reorder.py) — benchmarks using this generator do real work.
+
+    ``inter_locality`` in [0, 1): community-pair affinity for the
+    inter-community edges. 0 (default) wires them uniformly by global
+    propensity — communities have no pairwise structure, the adversarial
+    case for any community-aware partitioner. > 0 places communities on
+    a latent ring and draws the target community at a geometric
+    ring-distance with success probability ``inter_locality`` — the
+    hierarchical "nearby fields cite each other" structure real citation
+    graphs have, which balanced min-cut partitioning
+    (parallel.community_partition_order) exploits.
 
     Returns a symmetric ``[2, E]`` int32 edge index (no self-loops).
     """
@@ -188,7 +199,23 @@ def community_graph(
         p=prop[:community_size] / prop[:community_size].sum(),
     )
     r[intra] = np.minimum(base + within, num_nodes - 1)
-    r[~intra] = rng.choice(num_nodes, size=e - n_intra, p=p_global)
+    n_inter = e - n_intra
+    if inter_locality > 0.0:
+        # Ring-local target community: geometric distance, random side;
+        # receiver drawn by the same within-community propensity.
+        dist = rng.geometric(inter_locality, n_inter)
+        side = rng.choice((-1, 1), n_inter)
+        tgt = (comm[s[~intra]] + side * dist) % n_comm
+        within_i = rng.choice(
+            community_size,
+            size=n_inter,
+            p=prop[:community_size] / prop[:community_size].sum(),
+        )
+        r[~intra] = np.minimum(
+            tgt * community_size + within_i, num_nodes - 1
+        )
+    else:
+        r[~intra] = rng.choice(num_nodes, size=n_inter, p=p_global)
     keep = s != r
     s, r = s[keep], r[keep]
     if scramble:

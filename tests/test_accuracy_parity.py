@@ -8,6 +8,13 @@ accuracies must agree within noise. Anchor: the reference tutorial flow
 (/root/reference/docs/tutorials/node_classification.md:95-183, ~81% on
 real Cora; the synthetic stand-in is easier — both sides clear 0.7).
 
+ACCURACY CAVEAT (VERDICT r3 weak #5): every accuracy in this module is
+on the SYNTHETIC planetoid stand-in (offline environment — data/cora/raw
+is empty, downloads impossible). The absolute numbers (~0.60-0.75) are
+NOT comparable to the ~81% real-Cora anchor; only the PARITY between
+this framework and the executing reference on identical data is the
+assertion.
+
 Also asserts the kernelized GraphContext training path reaches the same
 trajectory as the plain XLA segment-op path (the arxiv-scale on-TPU
 analog runs in tools/accuracy_check.py; here the interpret-mode version

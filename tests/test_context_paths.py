@@ -237,3 +237,48 @@ class TestSAGE:
         params = layer.init(rng, f)
         with pytest.raises((ValueError, TypeError), match="bipartite"):
             layer.apply(params, (x, x), context=ctx)
+
+
+class TestForContextConstructors:
+    """VERDICT r3 weak #7: one-call construction for context layers — the
+    add_self_loops/normalize flag trap must not be reachable through the
+    documented entry points."""
+
+    def test_gcn_for_context_flags(self):
+        layer = GCNConv.for_context(8)
+        assert not layer.add_self_loops and not layer.normalize
+        # explicit flags still win (and then apply() raises as before)
+        assert GCNConv.for_context(8, normalize=True).normalize
+
+    def test_gatv2_for_context_flags(self):
+        layer = GATv2Conv.for_context(8, heads=2)
+        assert not layer.add_self_loops and layer.heads == 2
+
+    def test_encoder_for_context_matches_manual(self):
+        from keras_geometric_tpu.models import GNNEncoder
+
+        enc = GNNEncoder.for_context(conv="gcn", hidden_dims=(8, 4))
+        manual = GNNEncoder(
+            conv="gcn", hidden_dims=(8, 4),
+            conv_kwargs=tuple(
+                {"add_self_loops": False, "normalize": False}.items()
+            ),
+        )
+        assert enc == manual
+
+    def test_for_context_apply_runs(self):
+        from keras_geometric_tpu.ops.csr import prepare_graph
+
+        rng = np.random.default_rng(0)
+        n, e = 24, 80
+        ei = np.stack([rng.integers(0, n, e), rng.integers(0, n, e)])
+        x = jnp.asarray(rng.standard_normal((n, 6)).astype(np.float32))
+        ctx = prepare_graph(ei, n, add_self_loops=True, gcn_normalize=True)
+        layer = GCNConv.for_context(8)
+        params = layer.init(jax.random.PRNGKey(0), 6)
+        ref = GCNConv(8).apply(params, x, jnp.asarray(ei))
+        with pltpu.force_tpu_interpret_mode():
+            out = layer.apply(params, x, context=ctx)
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), rtol=1e-4, atol=1e-5
+        )

@@ -10,6 +10,11 @@ gate — run it after kernel changes, alongside tools/tpu_smoke.py.)
 
 Exit code 0 iff trajectories match (relative loss gap < 2% at every
 logged step and final train accuracies within 1 point).
+
+ACCURACY CAVEAT: this script trains on RANDOM features — the printed
+accuracies measure memorization capacity, not generalization, and mean
+nothing in absolute terms. Only the loss/accuracy PARITY between the two
+paths is the gate (VERDICT r3 weak #5).
 """
 
 from __future__ import annotations
@@ -112,7 +117,9 @@ def main() -> int:
         acc = accuracy(state.params, use_ctx)
         results[name] = (losses, acc)
         print(f"{name}: losses {['%.4f' % v for v in losses]} "
-              f"final train acc {acc:.4f}", flush=True)
+              f"final train acc {acc:.4f} "
+              "(random features - parity gate only, not a real "
+              "accuracy)", flush=True)
 
     lx, ax = results["xla"]
     lk, ak = results["kernel"]
