@@ -97,8 +97,42 @@ def main():
             results.append(res)
             print(json.dumps(res), flush=True)
 
-    for r in results:
-        pass
+    if not args.quick:
+        # Skewed-graph GATv2 row (VERDICT r3 missing #3): a community
+        # power-law graph, scrambled then LPA-reordered — the attention
+        # path keeps the FULL edge stream (per-edge scores need every
+        # edge; the banded tier is linear-message-only, see
+        # docs/kernels.md), so this measures what degree skew and
+        # reordering do to the fused attend pipeline by themselves.
+        from keras_geometric_tpu.data.datasets.synthetic import (
+            community_graph,
+        )
+        from keras_geometric_tpu.ops import reorder
+
+        n, e = 169_343, 1_166_242
+        ei = community_graph(n, e, seed=0)
+        s, r = ei[0].astype(np.int64), ei[1].astype(np.int64)
+        order = reorder.cluster_order(s, r, n)
+        inv = reorder.invert_order(order)
+        ei_sorted = np.stack([inv[s], inv[r]])
+        x = jnp.asarray(
+            rng.standard_normal((n, 128)).astype(np.float32),
+            jnp.bfloat16,
+        )
+        ctx = prepare_graph(ei_sorted, n, add_self_loops=True)
+        layer = GATv2Conv.for_context(output_dim=64, heads=4)
+        params = layer.init(jax.random.PRNGKey(0), 128)
+
+        def loss(p):
+            pc = jax.tree_util.tree_map(lambda a: a.astype(x.dtype), p)
+            out = layer.apply(pc, x, context=ctx).astype(jnp.float32)
+            return jnp.sum(out * out) / n
+
+        res = bench_layer(
+            "arxiv_gatv2_4h_skewed", loss, params, ctx.num_edges
+        )
+        results.append(res)
+        print(json.dumps(res), flush=True)
     return results
 
 
