@@ -122,3 +122,75 @@ def test_dtypes(dtype):
     )
     tol = 3e-2 if dtype == jnp.bfloat16 else 1e-4
     np.testing.assert_allclose(got, want, rtol=tol, atol=tol)
+
+
+class TestStatsAggFused:
+    """r4 one-pass forward: sddmm_stats_agg_sorted must match the
+    composed reference (scores -> masked softmax -> weighted aggregate)
+    including online-rescaling numerics, dropout, and padded slots."""
+
+    def _ref_out(self, ht, hj, att, recv, n, valid=None, drop=None,
+                 eps=1e-10):
+        from keras_geometric_tpu.ops import segment
+
+        scores = _ref_scores(ht, hj, att, recv)
+        mask = None if valid is None else jnp.asarray(valid, bool)
+        alpha = segment.segment_softmax(
+            scores, jnp.asarray(recv), n, mask=mask, eps=eps,
+            indices_are_sorted=True,
+        )
+        if drop is not None:
+            alpha = alpha * drop
+        d = hj.shape[1]
+        msgs = (
+            alpha[:, :, None] * hj.reshape(-1, HEADS, FDIM)
+        ).reshape(-1, d)
+        return segment.segment_sum(
+            msgs, jnp.asarray(recv), n, mask=mask,
+            indices_are_sorted=True,
+        )
+
+    def test_matches_composed(self):
+        recv, t, ht, hj, att = _case()
+        n = ht.shape[0]
+        with pltpu.force_tpu_interpret_mode():
+            out, scores, m, l = S.sddmm_stats_agg_sorted(
+                ht, hj, att, tables=t, num_nodes=n
+            )
+        want = self._ref_out(ht, hj, att, recv, n)
+        np.testing.assert_allclose(
+            out[:n], want, rtol=2e-4, atol=2e-4
+        )
+        np.testing.assert_allclose(
+            scores, _ref_scores(ht, hj, att, recv), rtol=1e-4, atol=1e-4
+        )
+
+    def test_padded_slots_and_dropout(self):
+        rng = np.random.default_rng(5)
+        n, e_real, e = 64, 300, 384
+        recv = np.sort(rng.integers(0, n, e_real)).astype(np.int32)
+        recv_p = np.concatenate(
+            [recv, np.full(e - e_real, n - 1, np.int32)]
+        )
+        t = K.build_row_tables(recv_p, n, edge_chunk=128, row_block=32)
+        d = HEADS * FDIM
+        ht = jnp.asarray(rng.standard_normal((n, d)).astype(np.float32))
+        hj = jnp.asarray(rng.standard_normal((e, d)).astype(np.float32))
+        att = jnp.asarray(
+            rng.standard_normal((HEADS, FDIM)).astype(np.float32)
+        )
+        valid = (np.arange(e) < e_real).astype(np.float32)
+        drop = jnp.asarray(
+            (rng.random((e, HEADS)) > 0.3).astype(np.float32) / 0.7
+        )
+        with pltpu.force_tpu_interpret_mode():
+            out, scores, m, l = S.sddmm_stats_agg_sorted(
+                ht, hj, att, tables=t, num_nodes=n, edge_valid=valid,
+                drop_mask=drop,
+            )
+        want = self._ref_out(
+            ht, hj, att, recv_p, n, valid=valid, drop=drop
+        )
+        np.testing.assert_allclose(out[:n], want, rtol=2e-4, atol=2e-4)
+        # Padded slots must flush as -inf scores.
+        assert np.all(np.asarray(scores)[e_real:] == -np.inf)
