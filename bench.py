@@ -96,6 +96,7 @@ def build_workload(kind: str = "uniform"):
         densify_self_loops=True,  # diag applied densely; N fewer streamed edges
         pad_nodes=True,  # node axis at kernel grain: no slice-copy per scatter
         band_window=band_window,
+        attend_full_stream=False,  # GCN-only workload; skip the companion
     )
     n_pad = ctx.num_nodes
     x = np.pad(x, ((0, n_pad - ARXIV_NODES), (0, 0)))

@@ -27,11 +27,8 @@ F = 256
 CONFIGS = [
     # name, env overrides
     ("base", {}),
-    ("donate", {}),
     ("param_source", {}),  # gather straight from the jit parameter
-    ("prealloc_small", {}),  # allocate a few small arrays first
-    ("prealloc_big", {}),  # allocate + free a 1 GB block first
-    ("two_takes_same", {}),  # 2 takes, same source (linearity check)
+    ("prealloc_big", {}),  # allocate + free a ~512 MB block first
     ("three_takes_distinct", {}),  # the bench-step shape: 3 sources
     ("three_takes_flags", {"LIBTPU_INIT_ARGS": (
         "--xla_tpu_enable_latency_hiding_scheduler=false")}),
@@ -60,9 +57,7 @@ def child(config: str) -> None:
             dtype=jnp.bfloat16,
         )
 
-    if config == "prealloc_small":
-        _keep = [jnp.zeros((1024, 128), jnp.bfloat16) for _ in range(8)]
-    elif config == "prealloc_big":
+    if config == "prealloc_big":
         big = jnp.zeros((4096, 65536), jnp.bfloat16)  # ~512 MB
         big.block_until_ready()
         del big
@@ -79,17 +74,6 @@ def child(config: str) -> None:
 
         jfn = jax.jit(fn)
         args = (*xs, idx)
-    elif config == "two_takes_same":
-        x = make_x()
-
-        def fn(x, i):
-            h = x * 1.0
-            return jnp.take(h, i, axis=0).sum() + jnp.take(
-                h, i[::-1], axis=0
-            ).sum()
-
-        jfn = jax.jit(fn)
-        args = (x, idx)
     else:
         x = make_x() if config != "f32_source" else jnp.asarray(
             rng.standard_normal((N, F)).astype(np.float32)
@@ -105,29 +89,11 @@ def child(config: str) -> None:
             def fn(x, i):
                 return jnp.take(x * 1.0, i, axis=0).sum()
 
-        if config == "donate":
-            jfn = jax.jit(fn, donate_argnums=(0,))
-        else:
-            jfn = jax.jit(fn)
+        jfn = jax.jit(fn)
         args = (x, idx)
 
     out = jfn(*args)
     jax.device_get(out)
-    if config == "donate":
-        # re-make x each call; time only the call via slope trick on a
-        # non-donated variant is impossible — donate measures differently:
-        # run 8 one-shot calls and take the min wall (coarse).
-        ts = []
-        for _ in range(8):
-            x = make_x()
-            x.block_until_ready()
-            t0 = time.perf_counter()
-            jax.device_get(jfn(x, idx))
-            ts.append(time.perf_counter() - t0)
-        print(json.dumps({"config": config, "ms": min(ts) * 1e3,
-                          "mode": "oneshot"}))
-        return
-
     def run(k):
         best = float("inf")
         for _ in range(3):

@@ -56,7 +56,8 @@ def main():
     ctx = prepare_graph(
         np.stack([inv[s], inv[r]]), n,
         add_self_loops=True, gcn_normalize=True, symmetric=True,
-        densify_self_loops=True, pad_nodes=True, band_window=1024,
+        densify_self_loops=True, pad_nodes=True, attend_full_stream=False,  # GCN-only demo
+        band_window=1024,
     )
     print(f"band edges: {ctx.num_band_edges} "
           f"({ctx.num_band_edges / ctx.num_edges:.1%}); "

@@ -189,6 +189,9 @@ class GATv2Conv(Module):
                 "the GraphContext path — a context is built for one node "
                 "set; use the plain edge_index path instead."
             )
+        # Band/densified contexts: per-edge attention needs every edge —
+        # use the attached full-stream companion (ops/csr.full_stream).
+        context = context.full_stream()
         n = x.shape[0]
         h, f = self.heads, self.output_dim
         ht = x @ params["kernel"]  # [N, H*F]

@@ -100,18 +100,22 @@ class GINConv(Module):
                 agg = context.spmm(x)
             elif context.has_unit_weights and self.aggregator == "mean":
                 agg = context.spmm_mean(x)
-            elif self.aggregator == "sum":
-                agg = context.scatter(context.gather(x), masked=True)
-            elif self.aggregator == "mean":
-                agg = context.scatter_mean(context.gather(x))
-            else:  # max: XLA sorted segment path
-                messages = context.gather(x)
-                from ..ops.segment import segment_max
+            else:
+                # Per-edge paths need every edge in the stream —
+                # band/densified contexts route via the full companion.
+                fctx = context.full_stream()
+                if self.aggregator == "sum":
+                    agg = fctx.scatter(fctx.gather(x), masked=True)
+                elif self.aggregator == "mean":
+                    agg = fctx.scatter_mean(fctx.gather(x))
+                else:  # max: XLA sorted segment path
+                    messages = fctx.gather(x)
+                    from ..ops.segment import segment_max
 
-                agg = segment_max(
-                    messages, context.receivers, num_nodes,
-                    mask=context.edge_mask, indices_are_sorted=True,
-                )
+                    agg = segment_max(
+                        messages, fctx.receivers, num_nodes,
+                        mask=fctx.edge_mask, indices_are_sorted=True,
+                    )
             h = (1 + eps) * x + agg
             return mlp.apply(params["mlp"], h, training=training, rng=rng)
         if edge_index is None:

@@ -142,7 +142,10 @@ class SAGEConv(Module):
                 )
                 messages = None
             else:
-                messages = context.gather(x)
+                # Per-edge path: band/densified contexts route via the
+                # full-stream companion (ops/csr.full_stream).
+                fctx = context.full_stream()
+                messages = fctx.gather(x)
                 messages = dropout(
                     msg_rng, messages, self.dropout_rate, training
                 )
@@ -153,17 +156,17 @@ class SAGEConv(Module):
                     params["pool_mlp"], messages
                 )
                 agg = segment_max(
-                    messages, context.receivers, num_nodes,
-                    mask=context.edge_mask, indices_are_sorted=True,
+                    messages, fctx.receivers, num_nodes,
+                    mask=fctx.edge_mask, indices_are_sorted=True,
                 )
             elif self.aggregator == "sum":
-                agg = context.scatter(messages, masked=True)
+                agg = fctx.scatter(messages, masked=True)
             elif self.aggregator == "mean":
-                agg = context.scatter_mean(messages)
+                agg = fctx.scatter_mean(messages)
             elif messages is not None:
                 agg = aggregate(
-                    self.aggregator, messages, context.receivers, num_nodes,
-                    mask=context.edge_mask, indices_are_sorted=True,
+                    self.aggregator, messages, fctx.receivers, num_nodes,
+                    mask=fctx.edge_mask, indices_are_sorted=True,
                 )
         elif edge_index is None:
             raise ValueError("edge_index required when no context is given")

@@ -18,7 +18,7 @@ benchmarks use these through one object built by :func:`prepare_graph`.
 from __future__ import annotations
 
 import functools
-from typing import NamedTuple
+from typing import Any, NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -88,11 +88,20 @@ class GraphContext(NamedTuple):
     # are ABSENT from the CSR edge stream above (which holds only the
     # residual). band_bwd is the transposed orientation's plan (None when
     # is_symmetric — the band is then self-transpose). spmm()/spmm_mean()
-    # sum both tiers; per-edge ops (gather/attend/edge_softmax) reject
-    # band contexts because the stream is incomplete.
+    # sum both tiers; per-edge ops (gather/attend/edge_softmax) route to
+    # the full-stream companion below (or reject when it was opted out).
     band: band_pallas.BandPlan | None = None
     band_bwd: band_pallas.BandPlan | None = None
     num_band_edges: int = 0
+    # Full-stream companion (r4, VERDICT r3 item 3): contexts whose CSR
+    # stream is incomplete for per-edge ops — banded (band edges leave
+    # the stream) or densified (self-loops leave the stream) — carry a
+    # second context holding EVERY edge, same padded node count, built
+    # by prepare_graph(attend_full_stream=True) (the default). Per-edge
+    # ops (gather/attend/edge_softmax/sddmm) route through it, so ONE
+    # prepared object serves both linear (band-accelerated) and
+    # attention layers.
+    full: Any = None  # GraphContext | None
 
     @property
     def num_edges(self) -> int:
@@ -103,27 +112,40 @@ class GraphContext(NamedTuple):
         )
         return base + self.num_diag + self.num_band_edges
 
+    def full_stream(self) -> "GraphContext":
+        """The context to use for per-edge ops: ``self`` when the CSR
+        stream already holds every edge; the attached ``full`` companion
+        when band/densify moved edges out of the stream."""
+        if self.band is None and self.num_diag == 0:
+            return self
+        if self.full is not None:
+            return self.full
+        raise ValueError(
+            "This context's CSR stream is incomplete for per-edge ops "
+            "(band_window= moves band edges out of the stream; "
+            "densify_self_loops=True moves self-loops out). Prepare "
+            "with attend_full_stream=True (the default) to attach a "
+            "full-stream companion, or prepare without band/densify."
+        )
+
     def _require_full_stream(self, op: str) -> None:
-        if self.band is not None:
-            raise ValueError(
-                f"{op} needs every edge in the CSR stream, but this "
-                "context was prepared with band_window= (band edges are "
-                "densified out of the stream). Prepare without "
-                "band_window for per-edge ops."
-            )
+        del op
+        self.full_stream()  # raises with the explanation when invalid
 
     @property
     def edge_index(self) -> jax.Array:
         return jnp.stack([self.senders, self.receivers])
 
     def gather(self, h: jax.Array) -> jax.Array:
-        """``[N, F] -> [E, F]`` sender-row gather with a sorted-scatter VJP."""
-        self._require_full_stream("gather")
+        """``[N, F] -> [E, F]`` sender-row gather with a sorted-scatter
+        VJP. Routes to the full-stream companion on band/densified
+        contexts (per-edge semantics need every edge)."""
+        ctx = self.full_stream()
         return _gather_rows(
             h,
-            (self.senders, self.bwd_perm, self.senders_sorted),
-            self.bwd_tables,
-            self.num_nodes,
+            (ctx.senders, ctx.bwd_perm, ctx.senders_sorted),
+            ctx.bwd_tables,
+            ctx.num_nodes,
         )
 
     def scatter(
@@ -186,13 +208,13 @@ class GraphContext(NamedTuple):
         ~eps) is dropped. Masked (padded) slots get weight 0 and zero
         gradient.
         """
-        self._require_full_stream("edge_softmax")
+        ctx = self.full_stream()
         return _edge_softmax(
             scores,
-            (self.receivers, self.edge_mask),
-            self.fwd_tables,
-            self.expand_tables or self.fwd_tables,
-            self.num_nodes,
+            (ctx.receivers, ctx.edge_mask),
+            ctx.fwd_tables,
+            ctx.expand_tables or ctx.fwd_tables,
+            ctx.num_nodes,
             eps,
         )
 
@@ -214,15 +236,15 @@ class GraphContext(NamedTuple):
         through the caller's gather. Padded edge slots return garbage —
         mask downstream (edge_softmax does).
         """
-        self._require_full_stream("sddmm_scores")
+        ctx = self.full_stream()
         return _sddmm(
             ht,
             hj,
             att,
-            (self.receivers,),
-            self.expand_tables or self.fwd_tables,
-            self.fwd_tables,
-            self.num_nodes,
+            (ctx.receivers,),
+            ctx.expand_tables or ctx.fwd_tables,
+            ctx.fwd_tables,
+            ctx.num_nodes,
             float(negative_slope),
         )
 
@@ -250,25 +272,25 @@ class GraphContext(NamedTuple):
         expands, and a single ``[E, H·F]`` permute + sorted scatter
         finishes the sender side (see _gatv2_attend_bwd).
         """
-        self._require_full_stream("attend")
+        ctx = self.full_stream()
         h = int(att.shape[0])
         return _gatv2_attend(
             ht,
             att,
             (
-                self.senders,
-                self.receivers,
-                self.edge_mask,
-                self.bwd_perm,
-                self.senders_sorted,
-                self.receivers_ss,
+                ctx.senders,
+                ctx.receivers,
+                ctx.edge_mask,
+                ctx.bwd_perm,
+                ctx.senders_sorted,
+                ctx.receivers_ss,
                 drop_mask,
-                self.edge_mask_ss,
+                ctx.edge_mask_ss,
             ),
-            self.fwd_tables,
-            self.expand_tables or self.fwd_tables,
-            self.bwd_tables,
-            self.num_nodes,
+            ctx.fwd_tables,
+            ctx.expand_tables or ctx.fwd_tables,
+            ctx.bwd_tables,
+            ctx.num_nodes,
             h,
             float(negative_slope),
             float(eps),
@@ -320,7 +342,13 @@ class GraphContext(NamedTuple):
                 self.bwd_tables,
                 self.num_nodes,
             )
-        out = self.scatter_weighted(self.gather(h))
+        messages = _gather_rows(
+            h,
+            (self.senders, self.bwd_perm, self.senders_sorted),
+            self.bwd_tables,
+            self.num_nodes,
+        )
+        out = self.scatter_weighted(messages)
         if self.self_weight is not None:
             out = out + h * self.self_weight[:, None].astype(h.dtype)
         return out
@@ -606,6 +634,8 @@ def prepare_graph(
     pad_nodes: bool = False,
     band_window: int | None = None,
     band_row_block: int = 256,
+    pad_to: int | None = None,
+    attend_full_stream: bool | None = None,
 ) -> GraphContext:
     """One-time host preprocessing into a :class:`GraphContext`.
 
@@ -633,12 +663,27 @@ def prepare_graph(
     the CSR stream. Pays off after a locality reordering
     (ops/reorder.py); on a random node numbering nearly every edge stays
     in the residual and the context behaves as without it.
+
+    ``attend_full_stream`` (r4): band/densified contexts have an
+    incomplete CSR stream, so per-edge ops (gather/attend/edge_softmax/
+    sddmm) need a FULL-stream companion context (``ctx.full``), built
+    here with the same padded node count. Default: True for band
+    contexts (one prepared object serves GCN band-accelerated AND
+    GATv2), False for densify-only contexts (GCN-style; attention on
+    them raises with instructions). ``pad_to`` forces the padded node
+    count (internal — keeps the companion's shapes aligned).
     """
     edge_index = np.asarray(edge_index)
     if edge_index.shape[0] != 2:
         edge_index = edge_index.T
     s = edge_index[0].astype(np.int64)
     r = edge_index[1].astype(np.int64)
+    orig_s, orig_r = s.copy(), r.copy()
+    orig_edge_weight = (
+        None if edge_weight is None else np.asarray(edge_weight).copy()
+    )
+    if attend_full_stream is None:
+        attend_full_stream = band_window is not None
     num_real_nodes = num_nodes
     if band_window is not None and not pad_nodes:
         raise ValueError("band_window requires pad_nodes=True")
@@ -649,6 +694,17 @@ def prepare_graph(
         num_nodes = -(-num_nodes // grain) * grain
         if band_window is not None:
             num_nodes = max(num_nodes, band_window)
+    if pad_to is not None:
+        if not pad_nodes:
+            raise ValueError("pad_to requires pad_nodes=True")
+        if pad_to < num_nodes or pad_to % max(
+            scatter_row_block, expand_row_block
+        ):
+            raise ValueError(
+                f"pad_to={pad_to} incompatible with computed padded "
+                f"node count {num_nodes}"
+            )
+        num_nodes = pad_to
     if symmetric:
         # Symmetry of the *weighted* adjacency lets spmm() reuse itself as
         # its own VJP. Verify the edge multiset is symmetric (GCN
@@ -800,6 +856,24 @@ def prepare_graph(
         row_block=scatter_row_block,
     )
 
+    full_ctx = None
+    if attend_full_stream and (band_plan is not None or num_diag > 0):
+        full_ctx = prepare_graph(
+            np.stack([orig_s, orig_r]),
+            num_real_nodes,
+            add_self_loops=add_self_loops,
+            gcn_normalize=gcn_normalize,
+            edge_weight=orig_edge_weight,
+            edge_chunk=edge_chunk,
+            symmetric=symmetric,
+            densify_self_loops=False,
+            scatter_row_block=scatter_row_block,
+            expand_row_block=expand_row_block,
+            pad_nodes=pad_nodes,
+            band_window=None,
+            pad_to=num_nodes if pad_nodes else None,
+        )
+
     deg = full_in_degree
     return GraphContext(
         senders=jnp.asarray(s_p),
@@ -828,4 +902,5 @@ def prepare_graph(
         band=band_plan,
         band_bwd=band_plan_bwd,
         num_band_edges=0 if band_plan is None else band_plan.num_edges,
+        full=full_ctx,
     )

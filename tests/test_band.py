@@ -139,13 +139,19 @@ class TestBandSpmm:
                 rtol=1e-4, atol=1e-4,
             )
 
-    def test_per_edge_ops_reject_band_context(self):
+    def test_per_edge_ops_route_or_reject(self):
+        # r4: by default band contexts carry a full-stream companion and
+        # per-edge ops ROUTE to it (TestFullStreamCompanion); with
+        # attend_full_stream=False they reject with instructions.
         ei = _community_edges()
-        ctx = prepare_graph(ei, 700, pad_nodes=True, band_window=512)
+        ctx = prepare_graph(
+            ei, 700, pad_nodes=True, band_window=512,
+            attend_full_stream=False,
+        )
         h = jnp.zeros((ctx.num_nodes, 8))
-        with pytest.raises(ValueError, match="band_window"):
+        with pytest.raises(ValueError, match="attend_full_stream"):
             ctx.gather(h)
-        with pytest.raises(ValueError, match="band_window"):
+        with pytest.raises(ValueError, match="attend_full_stream"):
             ctx.edge_softmax(jnp.zeros((ctx.senders.shape[0], 4)))
 
 
@@ -197,3 +203,99 @@ class TestReorder:
         assert (
             ctx_ordered.num_band_edges > 2 * ctx_scrambled.num_band_edges
         )
+
+
+class TestFullStreamCompanion:
+    """r4 (VERDICT r3 item 3): one prepared band context serves BOTH the
+    banded linear path and per-edge attention — per-edge ops route to
+    the attached full-stream companion and match a plain context."""
+
+    def _graph(self):
+        rng = np.random.default_rng(11)
+        n, e = 700, 4000
+        # Locality-heavy edges so the band actually absorbs some.
+        s = rng.integers(0, n, e)
+        r = np.clip(s + rng.integers(-80, 81, e), 0, n - 1)
+        return n, np.stack([s, r]).astype(np.int32)
+
+    def test_gatv2_on_band_context_matches_plain(self):
+        import jax
+
+        from keras_geometric_tpu import GATv2Conv
+
+        n, ei = self._graph()
+        band_ctx = prepare_graph(
+            ei, n, add_self_loops=True, pad_nodes=True, band_window=512,
+            scatter_row_block=8, expand_row_block=8,
+            edge_chunk=128,
+        )
+        assert band_ctx.num_band_edges > 0
+        assert band_ctx.full is not None
+        plain_ctx = prepare_graph(
+            ei, n, add_self_loops=True, scatter_row_block=8,
+            expand_row_block=8, edge_chunk=128,
+        )
+        layer = GATv2Conv.for_context(6, heads=2)
+        params = layer.init(jax.random.PRNGKey(0), 5)
+        x = jnp.asarray(
+            np.random.default_rng(0).standard_normal((n, 5))
+            .astype(np.float32)
+        )
+        x_pad = jnp.pad(x, ((0, band_ctx.num_nodes - n), (0, 0)))
+        with pltpu.force_tpu_interpret_mode():
+            got = layer.apply(params, x_pad, context=band_ctx)[:n]
+            want = layer.apply(params, x, context=plain_ctx)[:n]
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), rtol=1e-4, atol=1e-5
+        )
+
+    def test_spmm_still_band_accelerated(self):
+        n, ei = self._graph()
+        ctx = prepare_graph(
+            ei, n, add_self_loops=True, gcn_normalize=True,
+            pad_nodes=True, band_window=512,
+            scatter_row_block=8, expand_row_block=8, edge_chunk=128,
+        )
+        plain = prepare_graph(
+            ei, n, add_self_loops=True, gcn_normalize=True,
+            scatter_row_block=8, expand_row_block=8, edge_chunk=128,
+        )
+        x = jnp.asarray(
+            np.random.default_rng(1).standard_normal((n, 8))
+            .astype(np.float32)
+        )
+        x_pad = jnp.pad(x, ((0, ctx.num_nodes - n), (0, 0)))
+        with pltpu.force_tpu_interpret_mode():
+            got = ctx.spmm(x_pad)[:n]
+            want = plain.spmm(x)[:n]
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), rtol=1e-4, atol=1e-5
+        )
+
+    def test_opt_out_raises_helpfully(self):
+        n, ei = self._graph()
+        ctx = prepare_graph(
+            ei, n, add_self_loops=True, pad_nodes=True, band_window=512,
+            scatter_row_block=8, expand_row_block=8,
+            edge_chunk=128, attend_full_stream=False,
+        )
+        with pytest.raises(ValueError, match="attend_full_stream"):
+            ctx.full_stream()
+
+    def test_densified_context_defaults_to_raise(self):
+        n, ei = self._graph()
+        ctx = prepare_graph(
+            ei, n, add_self_loops=True, gcn_normalize=True,
+            densify_self_loops=True, scatter_row_block=8,
+            expand_row_block=8, edge_chunk=128,
+        )
+        with pytest.raises(ValueError, match="densify_self_loops"):
+            ctx.full_stream()
+        # Opt in: the companion carries the loops in-stream.
+        ctx2 = prepare_graph(
+            ei, n, add_self_loops=True, gcn_normalize=True,
+            densify_self_loops=True, scatter_row_block=8,
+            expand_row_block=8, edge_chunk=128,
+            attend_full_stream=True,
+        )
+        assert ctx2.full_stream() is ctx2.full
