@@ -11,9 +11,20 @@ import os
 os.environ["JAX_PLATFORMS"] = "cpu"  # force: env may preset a TPU platform
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+    flags = (flags + " --xla_force_host_platform_device_count=8").strip()
+if "collective_call_terminate" not in flags:
+    # XLA's CPU collective rendezvous hard-ABORTS the process when a
+    # participant is >40 s late. Interpret-mode Pallas runs every
+    # device's kernel body serially through Python callbacks, so late
+    # participants are NORMAL under suite-level memory/cache pressure —
+    # the full-suite SIGABRT in test_distributed (r4) was exactly this.
+    # Slow is fine; dead is not.
+    flags += (
+        " --xla_cpu_collective_call_terminate_timeout_seconds=1200"
+        " --xla_cpu_collective_call_warn_stuck_timeout_seconds=120"
+        " --xla_cpu_collective_timeout_seconds=1200"
+    )
+os.environ["XLA_FLAGS"] = flags
 
 import jax  # noqa: E402
 
@@ -24,6 +35,39 @@ jax.config.update("jax_enable_x64", False)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True)
+def _reset_interpret_state():
+    """Reset Pallas interpret-mode's GLOBAL shared memory between tests.
+
+    interpret_pallas_call keeps one module-level SharedMemory whose
+    threading.Barrier is sized to the first multi-device program's
+    device count; stale state from an earlier test deadlocks later
+    shard_map+interpret tests (threads parked in _barrier until the XLA
+    CPU collective rendezvous hard-aborts the process ~40 s later —
+    the full-suite SIGABRT at tests/test_distributed.py, r4)."""
+    yield
+    try:
+        from jax._src.pallas.mosaic.interpret.interpret_pallas_call import (
+            reset_tpu_interpret_mode_state,
+        )
+
+        reset_tpu_interpret_mode_state()
+    except Exception:
+        pass
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_per_module():
+    """Drop compiled programs between test modules: hundreds of cached
+    executables inflate RSS and slow the interpret-mode device threads
+    enough to trip collective rendezvous timeouts (see XLA_FLAGS above)."""
+    yield
+    try:
+        jax.clear_caches()
+    except Exception:
+        pass
 
 
 @pytest.fixture
