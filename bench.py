@@ -156,10 +156,45 @@ def build_workload(kind: str = "uniform"):
         return -jnp.sum(logp * onehot) / ARXIV_NODES
 
     grad_fn = jax.jit(jax.value_and_grad(loss_fn, argnums=0))
-    return grad_fn, params, x, band_arr, ctx
+
+    hoisted_fn = sx = None
+    if kind == "uniform":
+        # SGC-style hoisted variant (ops/precompute.py, shipped feature):
+        # the first layer's propagation S @ X is loop-invariant (X is the
+        # static input features), so it runs ONCE at setup and the step
+        # keeps only L2's fwd+bwd SpMMs — mathematically identical
+        # training (same gradients), measured as `hoisted_*`.
+        from keras_geometric_tpu.ops.precompute import (
+            precompute_propagation,
+        )
+
+        sx = precompute_propagation(ctx, x.astype(compute_dtype))
+        sx = jax.block_until_ready(sx)
+
+        def loss_hoisted(params, sx, band_arr):
+            from keras_geometric_tpu.nn.module import get_activation
+
+            c = ctx
+            if band_arr is not None:
+                c = ctx._replace(band=ctx.band._replace(band=band_arr))
+            p = jax.tree_util.tree_map(
+                lambda a: a.astype(compute_dtype), params
+            )
+            layers = encoder._layers()
+            h = sx @ p["layer_0"]["kernel"]
+            if layers[0].use_bias:
+                h = h + p["layer_0"]["bias"]
+            h = get_activation(encoder.activation)(h)
+            h = layers[1].apply(p["layer_1"], h, context=c)
+            logp = jax.nn.log_softmax(h.astype(jnp.float32))
+            return -jnp.sum(logp * onehot) / ARXIV_NODES
+
+        hoisted_fn = jax.jit(jax.value_and_grad(loss_hoisted, argnums=0))
+
+    return grad_fn, params, x, band_arr, ctx, hoisted_fn, sx
 
 
-def step_roofline(per_step_s: float, ctx=None):
+def step_roofline(per_step_s: float, ctx=None, hoisted: bool = False):
     """Analytic HBM-traffic model of one train step (bf16 IO) -> roofline.
 
     Counts every [E, F] edge-stream pass and the dense matmuls/elementwise
@@ -201,9 +236,12 @@ def step_roofline(per_step_s: float, ctx=None):
             r.bytes += band_spmm_bytes(classes_phys, n_pad, w, e_res)
     else:
         n, e = ARXIV_NODES, ARXIV_EDGES + ARXIV_NODES  # incl. densified loops
-        # L1: gather writes [E,128] + random-reads ~E rows; weighted scatter
-        # reads [E,128] (+~10% boundary re-reads) + weights, writes [N,128].
-        r.bytes += spmm_bytes(ARXIV_FEATS, e, n)
+        if not hoisted:
+            # L1: gather writes [E,128] + random-reads ~E rows; weighted
+            # scatter reads [E,128] (+~10% boundary re-reads) + weights,
+            # writes [N,128]. (Hoisted variant: S@X runs once at setup,
+            # so L1 has no edge stream in-step.)
+            r.bytes += spmm_bytes(ARXIV_FEATS, e, n)
         # L2 fwd + bwd: same shape at F=40 (A symmetric: bwd = same
         # operator). PHYSICAL bytes: the [*, 40] streams measurably cost
         # [*, 128] time (step_breakdown.py), so the model uses the padded
@@ -227,7 +265,9 @@ def step_roofline(per_step_s: float, ctx=None):
 def run_workload(kind: str):
     import jax
 
-    grad_fn, params, x, band_arr, ctx = build_workload(kind)
+    grad_fn, params, x, band_arr, ctx, hoisted_fn, sx = build_workload(
+        kind
+    )
 
     # Warmup / compile; force a real device fetch (on relayed/tunneled TPU
     # backends block_until_ready can return before execution completes, so
@@ -236,26 +276,41 @@ def run_workload(kind: str):
     loss, grads = grad_fn(params, x, band_arr)
     _ = jax.device_get(loss)
 
-    def timed(k: int) -> float:
+    def timed(fn, arg, k: int) -> float:
         best = float("inf")
         for _ in range(3):
             t0 = time.perf_counter()
             for _ in range(k):
-                loss, _g = grad_fn(params, x, band_arr)
+                loss, _g = fn(params, arg, band_arr)
             _ = jax.device_get(loss)
             best = min(best, time.perf_counter() - t0)
         return best
 
     k_lo, k_hi = 2, 22
-    per_step = (timed(k_hi) - timed(k_lo)) / (k_hi - k_lo)
+    per_step = (
+        timed(grad_fn, x, k_hi) - timed(grad_fn, x, k_lo)
+    ) / (k_hi - k_lo)
     edges_per_s = ctx.num_edges / per_step
     roof = step_roofline(per_step, ctx)
-    return {
+    out = {
         "edges_per_s": round(edges_per_s, 1),
         "hbm_util": round(roof["hbm_utilization"], 4),
         "achieved_gbps": round(roof["achieved_gbps"], 1),
         "per_step_ms": round(per_step * 1e3, 3),
     }
+    if hoisted_fn is not None:
+        loss, _ = hoisted_fn(params, sx, band_arr)
+        _ = jax.device_get(loss)
+        per_h = (
+            timed(hoisted_fn, sx, k_hi) - timed(hoisted_fn, sx, k_lo)
+        ) / (k_hi - k_lo)
+        roof_h = step_roofline(per_h, ctx, hoisted=True)
+        out.update(
+            hoisted_edges_per_s=round(ctx.num_edges / per_h, 1),
+            hoisted_per_step_ms=round(per_h * 1e3, 3),
+            hoisted_hbm_util=round(roof_h["hbm_utilization"], 4),
+        )
+    return out
 
 
 def _aggregate(rows: list[dict]) -> dict:
@@ -272,7 +327,7 @@ def _aggregate(rows: list[dict]) -> dict:
                     key=lambda i: rows[i]["edges_per_s"])]
     spread = (vals[-1] - vals[0]) / med if med else 0.0
     mid = next(r for r in rows if r["edges_per_s"] == med)
-    return {
+    out = {
         "edges_per_s": med,
         "min": vals[0],
         "max": vals[-1],
@@ -282,6 +337,17 @@ def _aggregate(rows: list[dict]) -> dict:
         "per_step_ms": mid["per_step_ms"],
         "best_per_step_ms": best["per_step_ms"],
     }
+    if all("hoisted_edges_per_s" in r for r in rows):
+        hv = sorted(r["hoisted_edges_per_s"] for r in rows)
+        hmid = next(
+            r for r in rows if r["hoisted_edges_per_s"] == hv[len(hv) // 2]
+        )
+        out.update(
+            hoisted_edges_per_s=hv[len(hv) // 2],
+            hoisted_per_step_ms=hmid["hoisted_per_step_ms"],
+            hoisted_hbm_util=hmid["hoisted_hbm_util"],
+        )
+    return out
 
 
 def _run_children(kind: str, k: int) -> dict:
@@ -333,6 +399,14 @@ def main():
                 "skewed_value_spread": skew["spread"],
                 "skewed_hbm_util": skew["hbm_util"],
                 "skewed_per_step_ms": skew["per_step_ms"],
+                # SGC-style hoisted uniform variant (ops/precompute.py):
+                # the loop-invariant first propagation S@X runs once at
+                # setup; the per-step work is L2's fwd+bwd SpMMs + dense
+                # matmuls. Exact-math (identical gradients) — the
+                # framework's real best for this training workload.
+                "hoisted_value": uni.get("hoisted_edges_per_s"),
+                "hoisted_per_step_ms": uni.get("hoisted_per_step_ms"),
+                "hoisted_hbm_util": uni.get("hoisted_hbm_util"),
                 "repeats_per_row": repeats,
             }
         )

@@ -32,6 +32,9 @@ CONFIGS = [
     ("three_takes_distinct", {}),  # the bench-step shape: 3 sources
     ("three_takes_flags", {"LIBTPU_INIT_ARGS": (
         "--xla_tpu_enable_latency_hiding_scheduler=false")}),
+    ("three_takes_nofold", {}),  # sources are true intermediates
+    ("three_takes_serial", {}),  # data-dependency-chained takes
+    ("warm_then_take", {}),  # tiny chained warm-up gather + big take
     ("sorted_idx", {}),  # same rows, sorted order
     ("at_get", {}),  # x.at[idx].get() formulation
     ("f32_source", {}),  # f32 gather (2x bytes)
@@ -62,15 +65,38 @@ def child(config: str) -> None:
         big.block_until_ready()
         del big
 
-    if config in ("three_takes_distinct", "three_takes_flags"):
+    if config in ("three_takes_distinct", "three_takes_flags",
+                  "three_takes_nofold"):
         xs = [make_x(), make_x(), make_x()]
+        # *1.0 folds away (sources stay parameter ALIASES); *1.0000001
+        # forces a real intermediate buffer per source.
+        scale = 1.0000001 if config == "three_takes_nofold" else 1.0
+
+        # Per-edge weights stop XLA from rewriting sum-of-gather into
+        # a gather-free histogram contraction.
+        w = jnp.asarray(
+            rng.standard_normal((E, 1)).astype(np.float32),
+            jnp.bfloat16,
+        )
 
         def fn(a, b, c, i):
             return (
-                jnp.take(a * 1.0, i, axis=0).sum()
-                + jnp.take(b * 1.0, i, axis=0).sum()
-                + jnp.take(c * 1.0, i, axis=0).sum()
+                (jnp.take(a * scale, i, axis=0) * w).sum()
+                + (jnp.take(b * scale, i, axis=0) * w).sum()
+                + (jnp.take(c * scale, i, axis=0) * w).sum()
             )
+
+        if config == "three_takes_serial":
+            def fn(a, b, c, i):  # noqa: F811
+                t1 = (jnp.take(a * 1.0, i, axis=0) * w).sum()
+                # Zero-valued index offset forces t2 to wait for t1:
+                # the gathers serialize instead of running concurrently.
+                i2 = i + (t1 * 0).astype(jnp.int32)
+                t2 = (jnp.take(b * 1.0, i2, axis=0) * w).sum()
+                i3 = i + (t2 * 0).astype(jnp.int32)
+                return t1 + t2 + (
+                    jnp.take(c * 1.0, i3, axis=0) * w
+                ).sum()
 
         jfn = jax.jit(fn)
         args = (*xs, idx)
@@ -79,7 +105,18 @@ def child(config: str) -> None:
             rng.standard_normal((N, F)).astype(np.float32)
         )
 
-        if config == "param_source":
+        if config == "warm_then_take":
+            w = jnp.asarray(
+                rng.standard_normal((E, 1)).astype(np.float32),
+                jnp.bfloat16,
+            )
+
+            def fn(x, i):
+                xs = x * 1.0
+                warm = jnp.take(xs, i[:1024], axis=0).sum()
+                i2 = i + (warm * 0).astype(jnp.int32)
+                return (jnp.take(xs, i2, axis=0) * w).sum()
+        elif config == "param_source":
             def fn(x, i):
                 return jnp.take(x, i, axis=0).sum()
         elif config == "at_get":

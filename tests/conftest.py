@@ -49,6 +49,12 @@ def _reset_interpret_state():
     the full-suite SIGABRT at tests/test_distributed.py, r4)."""
     yield
     try:
+        # Drain in-flight async programs FIRST: resetting the interpret
+        # globals under a still-running program (jax dispatch is async)
+        # strands its device threads at a barrier nobody else will join
+        # — on this 2-core box that deadlock starves forever (the
+        # full-suite hang at test_distributed, r4).
+        jax.effects_barrier()
         from jax._src.pallas.mosaic.interpret.interpret_pallas_call import (
             reset_tpu_interpret_mode_state,
         )
