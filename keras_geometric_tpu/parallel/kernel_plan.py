@@ -410,5 +410,14 @@ def spmm_local_overlapped(
         )
 
     out_local = _scatter("loc", h_local, kp_meta.loc.num_source_rows)
+    # Chain the remote gather BEHIND the local scatter via a zero-valued
+    # index dependency: XLA co-schedules independent random gathers and
+    # they thrash (~2.5x each, benchmarks/lottery_probe.py r4 — the
+    # "three_takes_distinct" row). The ideal schedule is exactly this
+    # order anyway: the all_to_all runs during the local scatter, and
+    # the remote aggregation follows.
+    dep = (out_local.ravel()[0] * 0).astype(jnp.int32)
+    shard = dict(shard)
+    shard["rem_senders"] = shard["rem_senders"] + dep
     out_remote = _scatter("rem", halo, kp_meta.rem.num_source_rows)
     return out_local + out_remote
