@@ -127,3 +127,61 @@ def test_tp_gradients_flow(mesh, block):
     leaves = jax.tree_util.tree_leaves(grads)
     assert all(np.all(np.isfinite(np.asarray(g))) for g in leaves)
     assert sum(float(jnp.sum(jnp.abs(g))) for g in leaves) > 0
+
+
+def test_2d_graph_model_mesh_matches_unsharded(block):
+    """(graph=4, model=2) mesh: nodes sharded over graph, features over
+    model — the composed 2-D SPMD block must equal the unsharded one."""
+    from keras_geometric_tpu.nn.module import get_activation
+    from keras_geometric_tpu.parallel import partition_graph
+    from keras_geometric_tpu.parallel.tensor_parallel import (
+        tp_graph_gcn_block_local,
+    )
+
+    g_ax, t_ax = 4, 2
+    mesh2 = make_mesh((g_ax, t_ax), ("graph", "model"))
+    x, ei, ew, params, (gcn1, gcn2) = block
+    n = x.shape[0]
+
+    # Unsharded reference.
+    h = gcn1.apply(params["layer_0"], jnp.asarray(x), jnp.asarray(ei),
+                   edge_weight=jnp.asarray(ew))
+    h = get_activation("relu")(h)
+    want = np.asarray(
+        gcn2.apply(params["layer_1"], h, jnp.asarray(ei),
+                   edge_weight=jnp.asarray(ew))
+    )
+
+    pg = partition_graph(ei, n, g_ax, edge_weight=ew)
+    shards = shard_params_tp(params, t_ax)
+    k0 = np.stack([s["layer_0"]["kernel"] for s in shards])
+    b0 = np.stack([s["layer_0"]["bias"] for s in shards])
+    k1 = np.stack([s["layer_1"]["kernel"] for s in shards])
+    b1 = np.stack([s["layer_1"]["bias"] for s in shards])
+    l = pg.nodes_per_part
+    x_pad = np.zeros((g_ax * l, x.shape[1]), np.float32)
+    x_pad[:n] = x
+
+    def body(xx, s, r, w, m, k0, b0, k1, b1):
+        p = {
+            "layer_0": {"kernel": k0[0], "bias": b0[0]},
+            "layer_1": {"kernel": k1[0], "bias": b1[0]},
+        }
+        return tp_graph_gcn_block_local(
+            p, xx, s[0], r[0], w[0], m[0]
+        )
+
+    fn = jax.jit(jax.shard_map(
+        body, mesh=mesh2,
+        in_specs=(
+            P("graph"), P("graph"), P("graph"), P("graph"), P("graph"),
+            P("model"), P("model"), P("model"), P("model"),
+        ),
+        out_specs=P("graph"),
+        check_vma=False,
+    ))
+    got = np.asarray(fn(
+        x_pad, pg.senders_global, pg.receivers_local, pg.edge_weight,
+        pg.edge_mask, k0, b0, k1, b1,
+    ))[:n]
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-5)
