@@ -7,7 +7,7 @@ Self-loops + symmetric normalization included (preprocessed once, as the
 framework prescribes). Timing excludes compilation; steps are timed in
 blocks with a single device sync at the end of each block.
 
-TWO graph rows (VERDICT r2 weak #3 / item 6):
+THREE result groups (VERDICT r2 weak #3 / item 6; r4 adds hoisted):
 
 - ``value`` — the historical headline: a UNIFORM random graph. This is
   the adversarial worst case: senders are information-theoretically
@@ -19,6 +19,10 @@ TWO graph rows (VERDICT r2 weak #3 / item 6):
   reordering (ops/reorder.py) + banded-dense split
   (prepare_graph(band_window=...), kernels/band_pallas.py). Local edges
   run as MXU matmuls with no gather at all.
+- ``hoisted_*`` — the uniform workload with the loop-invariant first
+  propagation (S @ X) computed once at setup (ops/precompute.py,
+  SGC-style; mathematically identical training) — the framework's true
+  per-step cost for this training workload.
 
 vs_baseline: the reference publishes no numbers; its only quantitative
 anchor is the CI perf threshold "GCN forward, 100k edges in < 5 s"

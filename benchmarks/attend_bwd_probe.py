@@ -57,7 +57,6 @@ def main():
         rng.standard_normal((nb * ctx.fwd_tables.row_block, HEADS)),
         jnp.float32,
     )
-    da = jnp.asarray(rng.standard_normal((e_pad, HEADS)), jnp.float32)
     v = jnp.asarray(
         rng.standard_normal((e_pad, d)).astype(np.float32), jnp.bfloat16
     )
