@@ -383,7 +383,11 @@ def main():
     repeats = int(sys.argv[sys.argv.index("--repeats") + 1]) \
         if "--repeats" in sys.argv else 3
     uni = _run_children("uniform", repeats)
-    skew = _run_children("community", repeats)
+    # The community child pays ~2 min of LPA + band preprocessing per
+    # fresh process; its measured cross-process spread is 1.9%, so two
+    # repeats bound the variance while keeping the whole bench inside
+    # the driver's budget.
+    skew = _run_children("community", max(2, repeats - 1))
     print(
         json.dumps(
             {
