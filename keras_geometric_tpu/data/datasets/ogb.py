@@ -202,6 +202,16 @@ class OGBNodeDataset:
         src, dst = edges[:, 0], edges[:, 1]
         senders = np.concatenate([src, dst])
         receivers = np.concatenate([dst, src])
+        # Standard OGB preprocessing is `to_undirected`, which COALESCES:
+        # reciprocal raw pairs must not get weight 2 and raw self-loops
+        # must not survive (ADVICE r4). Dedup on packed (s, r) keys and
+        # drop the diagonal before any CSR cache is built.
+        n_guess = int(max(senders.max(), receivers.max())) + 1
+        keys = senders * np.int64(n_guess) + receivers
+        keep = np.unique(keys, return_index=True)[1]
+        senders, receivers = senders[keep], receivers[keep]
+        off_diag = senders != receivers
+        senders, receivers = senders[off_diag], receivers[off_diag]
 
         split_root = os.path.join(base, "split")
         split: dict[str, np.ndarray] = {}

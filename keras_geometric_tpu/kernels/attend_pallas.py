@@ -352,8 +352,11 @@ def attend_rho_sorted(
         ),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n_pad, k), jnp.float32),
+        # rho-only accounting (ADVICE r4): one g expand (2*ec*rb*d), one
+        # d_alpha contraction (2*ec*d*k), the alpha ml-expand and the rho
+        # reduction — no d_alpha output stream or accumulator anymore.
         cost_estimate=pl.CostEstimate(
-            flops=6 * tables.num_work * ec * (rb + k) * d,
+            flops=2 * tables.num_work * ec * (rb + 2 * k) * d,
             bytes_accessed=tables.num_work * ec * d * hj.dtype.itemsize,
             transcendentals=tables.num_work * ec * k,
         ),

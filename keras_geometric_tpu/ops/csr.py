@@ -33,7 +33,21 @@ from ..kernels import (
 )
 from .. import native
 
-__all__ = ["GraphContext", "prepare_graph"]
+__all__ = ["GraphContext", "prepare_graph", "dep_zero"]
+
+
+def dep_zero(t: jax.Array) -> jax.Array:
+    """A zero int32 scalar with a DATA dependency on ``t``.
+
+    Adding it to a gather's index vector serializes that gather behind
+    ``t`` without changing the indices: XLA co-schedules independent
+    random gathers and they thrash (~2.5x each), while same-index chained
+    gathers are ~free after the first (benchmarks/lottery_probe.py r4).
+    ``nan_to_num`` keeps the chain NaN-proof: a divergent ``t`` (NaN/Inf)
+    must not turn into an implementation-defined float->int cast that
+    silently corrupts the indices (ADVICE r4).
+    """
+    return (jnp.nan_to_num(t.ravel()[0]) * 0.0).astype(jnp.int32)
 
 
 class GraphContext(NamedTuple):
@@ -148,6 +162,27 @@ class GraphContext(NamedTuple):
             ctx.num_nodes,
         )
 
+    def _check_message_stream(self, messages: jax.Array) -> None:
+        """Band/densified contexts route gather()/attend() to the
+        full-stream companion but scatter over THIS context's residual
+        stream — mixing the two must fail loudly, not via a downstream
+        shape mismatch (or silently when the counts coincide). ADVICE r4."""
+        if messages.shape[0] != self.receivers.shape[0]:
+            hint = ""
+            if self.band is not None or self.num_diag:
+                hint = (
+                    " This context is banded/densified: its CSR stream "
+                    "holds only residual edges, while per-edge ops "
+                    "(gather/attend/edge_softmax) route through the "
+                    "full-stream companion — scatter through "
+                    "ctx.full_stream() for messages produced there."
+                )
+            raise ValueError(
+                f"scatter got {messages.shape[0]} messages but this "
+                f"context's edge stream has {self.receivers.shape[0]} "
+                f"slots.{hint}"
+            )
+
     def scatter(
         self, messages: jax.Array, *, masked: bool = False
     ) -> jax.Array:
@@ -156,6 +191,7 @@ class GraphContext(NamedTuple):
         ``masked=True`` zeroes padded edge slots first — needed whenever the
         messages were not already nulled by a zero edge weight.
         """
+        self._check_message_stream(messages)
         return spmm_pallas.scatter_sum_sorted(
             messages,
             self.receivers,
@@ -183,6 +219,7 @@ class GraphContext(NamedTuple):
     def scatter_weighted(self, messages: jax.Array) -> jax.Array:
         """Scatter with the per-edge weights fused into the kernel (no
         separate [E, F] weighting pass; padded slots carry zero weight)."""
+        self._check_message_stream(messages)
         return spmm_pallas.scatter_sum_sorted(
             messages,
             self.receivers,

@@ -35,6 +35,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..kernels import spmm_pallas
+from ..ops import csr
 from ..ops.graph_ops import round_up
 from .halo import build_halo_plan
 from .partition import PartitionedGraph
@@ -415,8 +416,8 @@ def spmm_local_overlapped(
     # they thrash (~2.5x each, benchmarks/lottery_probe.py r4 — the
     # "three_takes_distinct" row). The ideal schedule is exactly this
     # order anyway: the all_to_all runs during the local scatter, and
-    # the remote aggregation follows.
-    dep = (out_local.ravel()[0] * 0).astype(jnp.int32)
+    # the remote aggregation follows. dep_zero is NaN-proof (ADVICE r4).
+    dep = csr.dep_zero(out_local)
     shard = dict(shard)
     shard["rem_senders"] = shard["rem_senders"] + dep
     out_remote = _scatter("rem", halo, kp_meta.rem.num_source_rows)
