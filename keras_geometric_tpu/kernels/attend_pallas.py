@@ -12,12 +12,25 @@ boundary-encoded work-list grids of kernels/spmm_pallas.py:
   (= sum_{e in r} alpha * d_alpha, the softmax-Jacobian row term).
 - :func:`attend_recv_bwd_full_sorted` (receiver grid): ds = alpha *
   (d_alpha - rho_e) and d_pre in-register; scatters the receiver-side
-  d ht, accumulates datt, and EMITS the total per-edge sender cotangent
-  ``v = alpha_keep * g[recv] + d_pre`` — the caller finishes with one
-  edge permute + sorted scatter. (The r2 sender-grid recompute path —
-  three random node-table gathers — was deleted in r3: multiple random
-  gathers per program cost an allocation-dependent 12-42 ms lottery at
-  ogbn-arxiv scale; one permute bounds it at a single draw.)
+  d ht and accumulates datt. With ``emit_v=True`` it also EMITS the
+  total per-edge sender cotangent ``v = alpha_keep * g[recv] + d_pre``
+  for the legacy single-permute finish; the r5 default path passes
+  ``emit_v=False`` and finishes with :func:`attend_send_bwd_sorted`.
+- :func:`attend_send_bwd_sorted` (sender grid, r5): recomputes alpha,
+  ds and d_pre in SENDER-sorted order from three chained N-row gathers
+  (g/ht/packed-stats by receivers-in-sender-order) plus the block-
+  streamed sender rows, and scatters ``v`` straight into d ht — no
+  [E, D] permute anywhere.
+
+Design history: the r2 sender-grid path was deleted in r3 over a
+"12-42 ms multi-gather lottery"; the r4 fresh-process matrix
+(benchmarks/RESULTS.md) decomposed that lottery into XLA co-scheduling
+of INDEPENDENT gathers (~2.5x each) — same-index CHAINED gathers cost
+~0.1 ms marginal, and N-row bf16 sources sit under the ~128 MB
+gather-source cliff (~4.5 ms) while an [E, 256] permute source is
+pinned at ~15 ms on the far side. r5 rebuilds the sender-orientation
+recompute under those rules (VERDICT r4 item 1): three chained N-row
+gathers (~4.7 ms) replace the one E-row permute (~15.9 ms).
 
 Out-of-interval (padded) edge slots are masked by the interval one-hot
 inside every kernel, so no -inf masking pass over [E, K] is needed
@@ -41,6 +54,7 @@ __all__ = [
     "attend_aggregate_sorted",
     "attend_rho_sorted",
     "attend_recv_bwd_full_sorted",
+    "attend_send_bwd_sorted",
 ]
 
 
@@ -387,10 +401,15 @@ def _recv_bwd_full_kernel(
     negative_slope: float,
     precision,
     dropped: bool,
+    emit_v: bool,
 ):
     refs = list(rest)
     drop_ref = refs.pop(0) if dropped else None
-    out_ref, datt_ref, v_ref, acc_ref, datt_acc, v_acc = refs
+    if emit_v:
+        out_ref, datt_ref, v_ref, acc_ref, datt_acc, v_acc = refs
+    else:
+        out_ref, datt_ref, acc_ref, datt_acc = refs
+        v_ref = v_acc = None
     w = pl.program_id(0)
     base = wc_ref[w] * edge_chunk
     rb = bounds_ref.shape[2]
@@ -444,33 +463,35 @@ def _recv_bwd_full_kernel(
 
     # Total per-edge SENDER cotangent v = alpha_keep * g[recv] + dpre,
     # accumulated per chunk (each edge's terms land in its owning
-    # block's item; both factors are exact zeros out-of-block). One
-    # permute + sorted scatter then replaces the THREE random node-table
-    # gathers of the sender-grid recompute path (whose cost is an
-    # allocation-dependent 12-42 ms lottery at arxiv scale, r3 probes).
-    if dropped:
-        alpha_keep = alpha * drop_ref[:].astype(jnp.float32)
-    else:
-        alpha_keep = alpha
-    akd = _dots_data_lhs(alpha_keep, selt_ref[:], precision,
-                         ((1,), (0,)))
-    v_contrib = akd * g_b + dpre
+    # block's item; both factors are exact zeros out-of-block). The
+    # legacy path (emit_v=True) permutes this stream to sender order and
+    # runs the sorted scatter; the r5 default recomputes v in sender
+    # order instead (attend_send_bwd_sorted) and skips this 686 MB
+    # [E, D] write entirely.
+    if emit_v:
+        if dropped:
+            alpha_keep = alpha * drop_ref[:].astype(jnp.float32)
+        else:
+            alpha_keep = alpha
+        akd = _dots_data_lhs(alpha_keep, selt_ref[:], precision,
+                             ((1,), (0,)))
+        v_contrib = akd * g_b + dpre
 
-    cflags = wcf_ref[w]
-    c_first = (cflags & 1) == 1
-    c_last = (cflags & 2) == 2
+        cflags = wcf_ref[w]
+        c_first = (cflags & 1) == 1
+        c_last = (cflags & 2) == 2
 
-    @pl.when(c_first)
-    def _():
-        v_acc[:] = v_contrib
+        @pl.when(c_first)
+        def _():
+            v_acc[:] = v_contrib
 
-    @pl.when(jnp.logical_not(c_first))
-    def _():
-        v_acc[:] += v_contrib
+        @pl.when(jnp.logical_not(c_first))
+        def _():
+            v_acc[:] += v_contrib
 
-    @pl.when(c_last)
-    def _():
-        v_ref[:] = v_acc[:].astype(v_ref.dtype)
+        @pl.when(c_last)
+        def _():
+            v_ref[:] = v_acc[:].astype(v_ref.dtype)
 
     # datt: each edge contributes exactly once (in its owning block's
     # items; dse == 0 elsewhere). pre is finite out-of-block (hi = 0), so
@@ -499,18 +520,18 @@ def attend_recv_bwd_full_sorted(
     negative_slope: float = 0.2,
     drop_mask: jax.Array | None = None,  # [E, K] pre-scaled keep mask
     precision=None,
-) -> tuple[jax.Array, jax.Array, jax.Array]:
-    """Receiver-grid backward emitting the FULL per-edge sender
-    cotangent: returns ``(d_ht_recv [N_pad, D], datt [K, F], v [E, D])``
-    where ``v = alpha_keep * g[recv] + d_pre`` in receiver-sorted order.
-    d_alpha is recomputed in-register from the g expand (r4 — no [E, K]
-    d_alpha stream from the rho pass).
+    emit_v: bool = True,
+) -> tuple[jax.Array, ...]:
+    """Receiver-grid backward: returns ``(d_ht_recv [N_pad, D],
+    datt [K, F], v [E, D])`` with ``emit_v=True`` (legacy single-permute
+    finish; ``v = alpha_keep * g[recv] + d_pre`` in receiver-sorted
+    order) or ``(d_ht_recv, datt)`` with ``emit_v=False`` (r5: the
+    sender side is recomputed by :func:`attend_send_bwd_sorted`, so the
+    686 MB v stream is never written). d_alpha is recomputed in-register
+    from the g expand (r4 — no [E, K] d_alpha stream from the rho pass).
 
-    The caller finishes the sender side with ONE edge permute + sorted
-    scatter — replacing the three node-table random gathers + sender-grid
-    recompute (see _recv_bwd_full_kernel comment). All node-side inputs
-    arrive via block-streamed expands, so no random access appears in
-    this pass at all.
+    All node-side inputs arrive via block-streamed expands, so no random
+    access appears in this pass at all.
     """
     e, d = hj.shape
     k = att.shape[0]
@@ -570,40 +591,47 @@ def attend_recv_bwd_full_sorted(
                          memory_space=pltpu.VMEM)
         )
         args.append(dm)
+    out_specs = [
+        pl.BlockSpec((rb, d), lambda w, b, c, fl, f2: (b[w], 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, d), lambda w, b, c, fl, f2: (0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((n_pad, d), ht.dtype),
+        jax.ShapeDtypeStruct((1, d), jnp.float32),
+    ]
+    scratch = [
+        pltpu.VMEM((rb, d), jnp.float32),
+        pltpu.VMEM((1, d), jnp.float32),
+    ]
+    if emit_v:
+        out_specs.append(
+            pl.BlockSpec((ec, d), lambda w, b, c, fl, f2: (c[w], 0),
+                         memory_space=pltpu.VMEM)
+        )
+        out_shape.append(jax.ShapeDtypeStruct((e_pad, d), ht.dtype))
+        scratch.append(pltpu.VMEM((ec, d), jnp.float32))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
         grid=(tables.num_work,),
         in_specs=in_specs,
-        out_specs=[
-            pl.BlockSpec((rb, d), lambda w, b, c, fl, f2: (b[w], 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, d), lambda w, b, c, fl, f2: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((ec, d), lambda w, b, c, fl, f2: (c[w], 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        scratch_shapes=[
-            pltpu.VMEM((rb, d), jnp.float32),
-            pltpu.VMEM((1, d), jnp.float32),
-            pltpu.VMEM((ec, d), jnp.float32),
-        ],
+        out_specs=out_specs,
+        scratch_shapes=scratch,
     )
-    dht, datt, v = pl.pallas_call(
+    outs = pl.pallas_call(
         functools.partial(
             _recv_bwd_full_kernel, edge_chunk=ec, k=k, eps=float(eps),
             negative_slope=float(negative_slope), precision=precision,
-            dropped=dropped,
+            dropped=dropped, emit_v=emit_v,
         ),
         grid_spec=grid_spec,
-        out_shape=[
-            jax.ShapeDtypeStruct((n_pad, d), ht.dtype),
-            jax.ShapeDtypeStruct((1, d), jnp.float32),
-            jax.ShapeDtypeStruct((e_pad, d), ht.dtype),
-        ],
+        out_shape=out_shape,
         cost_estimate=pl.CostEstimate(
-            flops=12 * tables.num_work * ec * (rb + k) * d,
-            bytes_accessed=3 * tables.num_work * ec * d
-            * hj.dtype.itemsize,
+            flops=(12 if emit_v else 10) * tables.num_work * ec
+            * (rb + k) * d,
+            bytes_accessed=(3 if emit_v else 2) * tables.num_work * ec
+            * d * hj.dtype.itemsize,
             transcendentals=tables.num_work * ec * k,
         ),
     )(
@@ -613,6 +641,224 @@ def attend_recv_bwd_full_sorted(
         jnp.asarray(tables.work_cfirst),
         *args,
     )
-    return dht, datt.reshape(k, d // k).astype(att.dtype), v[:e]
+    dht, datt = outs[0], outs[1]
+    datt = datt.reshape(k, d // k).astype(att.dtype)
+    if emit_v:
+        return dht, datt, outs[2][:e]
+    return dht, datt
+
+
+# --------------------------------------------------------------------------
+# Sender-grid recompute (r5): the permutation-free finish.
+#
+# dht_send[j] = sum_{e=(j->i)} v_e with v_e = alpha_keep_e * g_i + dpre_e
+# computed IN REGISTER in sender-sorted order. Receiver-side quantities
+# (g_i, ht_i, m_i, l_i, rho_i) arrive as pre-gathered edge streams (three
+# chained N-row takes by receivers_ss — ~4.7 ms total at arxiv scale under
+# the r4 scheduling rules, vs ~15.9 ms for the [E, 256] permute whose
+# E-row source cannot get under the ~128 MB gather cliff). Sender features
+# arrive via the block-streamed one-hot expand (the block IS the sender
+# rows here). The recomputed score s is bit-identical to the forward's
+# (same exact f32 expression over the same bf16 values), so alpha
+# reconstruction is exact.
+# --------------------------------------------------------------------------
+
+
+def _send_bwd_kernel(
+    wb_ref, wc_ref, wf_ref,  # SMEM scalars (3 prefetch)
+    bounds_ref,  # [1, 2, RB] sender intervals
+    rows_ref,  # [RB, D] ht rows (sender blocks)
+    gr_ref,  # [EC, D] g[recv] stream (sender-sorted order)
+    hr_ref,  # [EC, D] ht[recv] stream (sender-sorted order)
+    mlr_ref,  # [EC, 3K] f32 (m | l | rho)[recv] stream
+    att_ref,  # [1, D]
+    sel_ref,  # [D, K]
+    selt_ref,  # [K, D]
+    *rest,
+    edge_chunk: int,
+    k: int,
+    eps: float,
+    negative_slope: float,
+    precision,
+    masked: bool,
+    dropped: bool,
+):
+    refs = list(rest)
+    valid_ref = refs.pop(0) if masked else None
+    drop_ref = refs.pop(0) if dropped else None
+    out_ref, acc_ref = refs
+    w = pl.program_id(0)
+    base = wc_ref[w] * edge_chunk
+    rb = bounds_ref.shape[2]
+    onehot_t, hit = _interval_onehots(bounds_ref, base, edge_chunk, rb)
+
+    hj = _dots(onehot_t, rows_ref[:], precision, ((1,), (0,)))  # [EC, D]
+    hrf = hr_ref[:].astype(jnp.float32)
+    grf = gr_ref[:].astype(jnp.float32)
+    att_row = att_ref[0:1, :].astype(jnp.float32)
+
+    # Score recompute — the SAME exact f32 expression as the fused
+    # forward (_sddmm_stats_agg_kernel): pre is a f32 sum of the same
+    # bf16 values, z and the MXU head-sum are identical, so s == s_fwd
+    # bitwise for every valid in-interval edge. The min(., 0) clamp is
+    # then exact (s <= m by construction) and only guards the padded /
+    # out-of-interval garbage rows that the masks below zero anyway.
+    pre = hrf + hj
+    z = jnp.where(pre > 0, pre, negative_slope * pre)
+    s = _dots_data_lhs(z * att_row, sel_ref[:], precision, ((1,), (0,)))
+    mlr = mlr_ref[:].astype(jnp.float32)
+    m_e, l_e, rho_e = mlr[:, :k], mlr[:, k:2 * k], mlr[:, 2 * k:3 * k]
+    inblk = jnp.sum(onehot_t, axis=1, keepdims=True) > 0.0  # [EC, 1]
+    alpha = jnp.exp(jnp.minimum(s - m_e, 0.0)) / (l_e + eps)
+    alpha = jnp.where(inblk, alpha, 0.0)
+    if masked:
+        # Padded edge slots sit INSIDE the last node's interval (they
+        # point at num_nodes-1 with weight 0 in the stream layout), so
+        # the interval indicator alone does not null them here.
+        alpha = alpha * valid_ref[0, 0:1, :].reshape(edge_chunk, 1)
+
+    da = _dots_data_lhs(grf * hj, sel_ref[:], precision, ((1,), (0,)))
+    if dropped:
+        dropf = drop_ref[:].astype(jnp.float32)
+        da = da * dropf
+        alpha_keep = alpha * dropf
+    else:
+        alpha_keep = alpha
+    ds = alpha * (da - rho_e)  # 0 on masked / out-of-interval slots
+    dse = _dots_data_lhs(ds, selt_ref[:], precision, ((1,), (0,)))
+    lmask = jnp.where(pre > 0, 1.0, negative_slope)
+    dpre = dse * att_row * lmask  # [EC, D]
+    akd = _dots_data_lhs(alpha_keep, selt_ref[:], precision,
+                         ((1,), (0,)))
+    v = akd * grf + dpre
+    contrib = _dots(hit, v.astype(rows_ref.dtype), precision,
+                    ((1,), (0,)))
+
+    flags = wf_ref[w]
+    is_first = (flags & 1) == 1
+    is_last = (flags & 2) == 2
+
+    @pl.when(is_first)
+    def _():
+        acc_ref[:] = contrib
+
+    @pl.when(jnp.logical_not(is_first))
+    def _():
+        acc_ref[:] += contrib
+
+    @pl.when(is_last)
+    def _():
+        out_ref[:] = acc_ref[:].astype(out_ref.dtype)
+
+
+def attend_send_bwd_sorted(
+    ht: jax.Array,  # [N, D] transformed node features
+    g_r: jax.Array,  # [E, D] g[receivers_ss] (sender-sorted order)
+    ht_r: jax.Array,  # [E, D] ht[receivers_ss]
+    stats_r: jax.Array,  # [E, 3K] f32 (m | l | rho)[receivers_ss]
+    att: jax.Array,  # [K, F]
+    *,
+    tables: RowTables,  # SENDER-orientation scatter tables (bwd_tables)
+    eps: float = 1e-10,
+    negative_slope: float = 0.2,
+    valid_ss: jax.Array | None = None,  # [E] 1/0 in sender-sorted order
+    drop_ss: jax.Array | None = None,  # [E, K] keep mask, sender order
+    precision=None,
+) -> jax.Array:
+    """Sender-grid attention backward finish: ``d_ht_send [N_pad, D]``.
+
+    Recomputes alpha/ds/d_pre in sender-sorted order and scatters the
+    total per-edge sender cotangent ``v = alpha_keep * g[recv] + d_pre``
+    into d ht — the permutation-free replacement for the r3/r4
+    ``take(v, perm)`` + sorted-scatter finish (module docstring). The
+    three ``[E, *]`` input streams must be gathered by the caller with
+    CHAINED takes (ops/csr.dep_zero) so XLA cannot co-schedule them.
+    """
+    e, d = g_r.shape
+    k = att.shape[0]
+    ec, rb = tables.edge_chunk, tables.row_block
+    nb = tables.bounds.shape[0]
+    e_pad = ((e + ec - 1) // ec) * ec
+    n_pad = nb * rb
+    rows = jnp.pad(ht, ((0, n_pad - ht.shape[0]), (0, 0)))
+    gr_p = jnp.pad(g_r, ((0, e_pad - e), (0, 0)))
+    hr_p = jnp.pad(ht_r, ((0, e_pad - e), (0, 0)))
+    mlr_p = jnp.pad(
+        stats_r.astype(jnp.float32), ((0, e_pad - e), (0, 0))
+    )
+    att_flat = att.reshape(1, d)
+    sel = head_selector(k, d // k)
+    selt = sel.T
+    if precision is None:
+        precision = (
+            "split2" if ht.dtype == jnp.float32
+            else jax.lax.Precision.DEFAULT
+        )
+    masked = valid_ss is not None
+    dropped = drop_ss is not None
+    in_specs = [
+        pl.BlockSpec((1, 2, rb), lambda w, b, c, fl: (b[w], 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((rb, d), lambda w, b, c, fl: (b[w], 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((ec, d), lambda w, b, c, fl: (c[w], 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((ec, d), lambda w, b, c, fl: (c[w], 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((ec, 3 * k), lambda w, b, c, fl: (c[w], 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, d), lambda w, b, c, fl: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((d, k), lambda w, b, c, fl: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((k, d), lambda w, b, c, fl: (0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    args = [jnp.asarray(tables.bounds), rows, gr_p, hr_p, mlr_p,
+            att_flat, sel, selt]
+    if masked:
+        vm = jnp.pad(valid_ss.astype(jnp.float32), (0, e_pad - e))
+        args.append(vm.reshape(e_pad // ec, 1, ec))
+        in_specs.append(
+            pl.BlockSpec((1, 1, ec), lambda w, b, c, fl: (c[w], 0, 0),
+                         memory_space=pltpu.VMEM)
+        )
+    if dropped:
+        dm = jnp.pad(drop_ss.astype(jnp.float32),
+                     ((0, e_pad - e), (0, 0)))
+        args.append(dm)
+        in_specs.append(
+            pl.BlockSpec((ec, k), lambda w, b, c, fl: (c[w], 0),
+                         memory_space=pltpu.VMEM)
+        )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(tables.num_work,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((rb, d), lambda w, b, c, fl: (b[w], 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((rb, d), jnp.float32)],
+    )
+    out = pl.pallas_call(
+        functools.partial(
+            _send_bwd_kernel, edge_chunk=ec, k=k, eps=float(eps),
+            negative_slope=float(negative_slope), precision=precision,
+            masked=masked, dropped=dropped,
+        ),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n_pad, d), ht.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=10 * tables.num_work * ec * (rb + k) * d,
+            bytes_accessed=tables.num_work * ec
+            * (2 * d * ht.dtype.itemsize + 4 * 4 * k),
+            transcendentals=tables.num_work * ec * k,
+        ),
+    )(
+        jnp.asarray(tables.work_block),
+        jnp.asarray(tables.work_chunk),
+        jnp.asarray(tables.work_first),
+        *args,
+    )
+    return out
 
 

@@ -31,6 +31,7 @@ import dataclasses
 import jax
 import jax.numpy as jnp
 
+from ..ops import edge_dropout
 from ..ops.graph_ops import add_self_loops, ensure_edge_index
 from ..ops.segment import segment_softmax, segment_sum
 from .module import Module, dropout, get_initializer
@@ -199,23 +200,27 @@ class GATv2Conv(Module):
             # Fused attend op (ops/csr.py::GraphContext.attend): one
             # custom-VJP covering score -> softmax -> weighted aggregate,
             # whose backward never permutes an [E, H*F] edge array.
-            drop_mask = None
+            drop_mask = drop_mask_ss = None
             if training and self.dropout > 0:
                 if rng is None:
                     raise ValueError(
                         "dropout requires an rng key when training"
                     )
-                keep = 1.0 - self.dropout
-                bern = jax.random.bernoulli(
-                    rng, keep, shape=(context.senders.shape[0], h)
+                # Counter-mode mask pair (ops/edge_dropout.py): the same
+                # random mask in receiver- AND sender-sorted order, so
+                # the permutation-free sender-recompute backward stays
+                # available under dropout (no [E, H] mask permute).
+                drop_mask, drop_mask_ss = edge_dropout.attention_keep_masks(
+                    rng, int(context.senders.shape[0]), context.bwd_perm,
+                    h, self.dropout, dtype=ht.dtype,
                 )
-                drop_mask = jnp.where(bern, 1.0 / keep, 0.0).astype(ht.dtype)
             agg = context.attend(
                 ht,
                 params["att"].reshape(h, f),
                 negative_slope=self.negative_slope,
                 eps=1e-10,
                 drop_mask=drop_mask,
+                drop_mask_ss=drop_mask_ss,
             ).reshape(n, h, f)
             out = (
                 agg.reshape(n, h * f) if self.concat else jnp.mean(agg, axis=1)

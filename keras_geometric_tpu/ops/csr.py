@@ -293,6 +293,7 @@ class GraphContext(NamedTuple):
         negative_slope: float = 0.2,
         eps: float = 1e-10,
         drop_mask: jax.Array | None = None,
+        drop_mask_ss: jax.Array | None = None,
     ) -> jax.Array:
         """Fused GATv2 attention propagate with a permutation-free VJP.
 
@@ -303,11 +304,17 @@ class GraphContext(NamedTuple):
         α-weighted aggregation — ``ht`` is ``[N, H·F]``, ``att`` is
         ``[H, F]``, output ``[N, H·F]``.
 
-        The backward touches random memory exactly ONCE: the receiver-
-        grid pass (kernels/attend_pallas.attend_recv_bwd_full_sorted)
-        builds the total per-edge sender cotangent from block-streamed
-        expands, and a single ``[E, H·F]`` permute + sorted scatter
-        finishes the sender side (see _gatv2_attend_bwd).
+        The backward touches random memory only through N-row-source
+        takes (r5): a receiver-grid pass scatters the receiver-side d ht
+        and datt from block-streamed expands, then a sender-grid pass
+        (kernels/attend_pallas.attend_send_bwd_sorted) recomputes the
+        per-edge sender cotangent from three CHAINED node-table gathers
+        and scatters it directly — no [E, H·F] permute anywhere (see
+        _gatv2_attend_bwd). With dropout, pass BOTH mask orders
+        (``drop_mask`` receiver-sorted, ``drop_mask_ss`` sender-sorted —
+        ops/edge_dropout.attention_keep_masks generates the pair without
+        a permute); giving only ``drop_mask`` falls back to the legacy
+        single-permute backward.
         """
         ctx = self.full_stream()
         h = int(att.shape[0])
@@ -323,6 +330,7 @@ class GraphContext(NamedTuple):
                 ctx.receivers_ss,
                 drop_mask,
                 ctx.edge_mask_ss,
+                drop_mask_ss,
             ),
             ctx.fwd_tables,
             ctx.expand_tables or ctx.fwd_tables,
@@ -507,7 +515,7 @@ def _attend_fwd_compute(ht, att, arrays, fwd_tables, exp_tables, num_nodes,
     at arxiv scale, benchmarks/RESULTS.md). alpha never hits HBM; padded
     slots (inside the last row's intervals) are -inf'd in-kernel."""
     senders, receivers, edge_mask, _perm, _ss, _rss, drop_mask, \
-        _mask_ss = arrays
+        _mask_ss, _drop_ss = arrays
     f = att.shape[-1]
     hj = jnp.take(ht, senders, axis=0)  # [E, H*F] random gather
     out, scores, m, l = sddmm_pallas.sddmm_stats_agg_sorted(
@@ -539,30 +547,35 @@ def _gatv2_attend_fwd(ht, att, arrays, fwd_tables, exp_tables, bwd_tables,
 
 def _gatv2_attend_bwd(fwd_tables, exp_tables, bwd_tables, num_nodes, heads,
                       negative_slope, eps, res, g):
-    """Single-permute kernel-complete backward (two Pallas passes + one
-    edge permute + one sorted scatter; kernels/attend_pallas.py):
+    """Permutation-free kernel-complete backward (r5; three Pallas
+    passes + three chained N-row gathers, kernels/attend_pallas.py):
 
     1. ``attend_rho_sorted`` (receiver grid): the softmax-Jacobian row
        term rho (r4 slim: no d_alpha stream — the next pass recomputes
        it in-register from the same g expand);
-    2. ``attend_recv_bwd_full_sorted`` (receiver grid): ds = alpha
-       (d_alpha - rho_e), d_pre formed in-register and scattered straight
-       into d ht; emits datt AND the total per-edge sender cotangent
-       ``v = alpha_keep * g[recv] + d_pre`` — every node-side input
+    2. ``attend_recv_bwd_full_sorted(emit_v=False)`` (receiver grid):
+       ds = alpha (d_alpha - rho_e), d_pre formed in-register and
+       scattered straight into d ht; emits datt — every node-side input
        arrives via block-streamed expands, no random access;
-    3. ``take(v, perm)`` + sorted scatter over the transposed tables.
+    3. ``attend_send_bwd_sorted`` (sender grid): gathers g / ht /
+       packed (m|l|rho) by receivers-in-sender-order — three CHAINED
+       same-index takes over N-row bf16/under-cliff sources (~4.7 ms
+       at arxiv scale, benchmarks/lottery_probe.py r4) — recomputes
+       alpha/ds/d_pre in-register (score recompute is bit-exact vs the
+       forward) and scatters the sender cotangent directly.
 
-    Design history: the r2 sender-grid path recomputed everything from
-    THREE random node-table gathers (g/ht/packed-stats by receivers-in-
-    sender-order). r3 probes showed multiple random gathers in one
-    program cost an allocation-dependent 12-42 ms at arxiv scale (each
-    extra gather ~+14 ms in the slow mode, benchmarks/RESULTS.md); ONE
-    wide [E, D] permute bounds that lottery at a single draw and also
-    removes the narrow dropout-mask reorder entirely.
+    Design history: the r2 sender-grid recompute was deleted in r3 over
+    a "12-42 ms multi-gather lottery" and replaced by ONE [E, H·F]
+    permute + sorted scatter. The r4 measurement matrix decomposed that
+    lottery into co-scheduling of INDEPENDENT gathers; chained
+    same-index gathers cost ~0.1 ms marginal while the E-row permute
+    source sits beyond the ~128 MB gather cliff, pinned at ~15.9 ms.
+    r5 cashes that in (VERDICT r4 item 1). The legacy path survives
+    only for dropout masks without a sender-order companion.
     """
     ht, att, arrays, hj, scores, m, l = res
-    _senders, receivers, _mask, perm, senders_sorted, _rss, \
-        drop_mask, _mask_ss = arrays
+    _senders, receivers, _mask, perm, senders_sorted, r_ss, \
+        drop_mask, mask_ss, drop_ss = arrays
     f = att.shape[-1]
     att_hf = att.reshape(heads, f)
 
@@ -570,19 +583,44 @@ def _gatv2_attend_bwd(fwd_tables, exp_tables, bwd_tables, num_nodes, heads,
         g, scores, m, l, hj, tables=fwd_tables, eps=eps,
         drop_mask=drop_mask,
     )
-    dht, datt, v = attend_pallas.attend_recv_bwd_full_sorted(
-        ht, g, hj, att_hf, scores, m, l, rho,
-        tables=fwd_tables, eps=eps, negative_slope=negative_slope,
-        drop_mask=drop_mask,
-    )
-    dht = dht[: ht.shape[0]]
-    dht_send = spmm_pallas.scatter_sum_sorted(
-        jnp.take(v, perm, axis=0),
-        senders_sorted,
-        num_nodes,
-        tables=bwd_tables,
-    )
-    dht = dht + dht_send[: ht.shape[0]]
+    use_send = drop_mask is None or drop_ss is not None
+    if use_send:
+        dht, datt = attend_pallas.attend_recv_bwd_full_sorted(
+            ht, g, hj, att_hf, scores, m, l, rho,
+            tables=fwd_tables, eps=eps, negative_slope=negative_slope,
+            drop_mask=drop_mask, emit_v=False,
+        )
+        dht = dht[: ht.shape[0]]
+        gb = g.astype(ht.dtype)
+        g_r = jnp.take(gb, r_ss, axis=0)
+        idx2 = r_ss + dep_zero(g_r)
+        ht_r = jnp.take(ht, idx2, axis=0)
+        stats = jnp.concatenate(
+            [m.astype(jnp.float32), l.astype(jnp.float32),
+             rho.astype(jnp.float32)[: m.shape[0]]], axis=1,
+        )
+        idx3 = idx2 + dep_zero(ht_r)
+        stats_r = jnp.take(stats, idx3, axis=0)
+        dht_send = attend_pallas.attend_send_bwd_sorted(
+            ht, g_r, ht_r, stats_r, att_hf, tables=bwd_tables,
+            eps=eps, negative_slope=negative_slope,
+            valid_ss=mask_ss, drop_ss=drop_ss,
+        )
+        dht = dht + dht_send[: ht.shape[0]]
+    else:
+        dht, datt, v = attend_pallas.attend_recv_bwd_full_sorted(
+            ht, g, hj, att_hf, scores, m, l, rho,
+            tables=fwd_tables, eps=eps, negative_slope=negative_slope,
+            drop_mask=drop_mask,
+        )
+        dht = dht[: ht.shape[0]]
+        dht_send = spmm_pallas.scatter_sum_sorted(
+            jnp.take(v, perm, axis=0),
+            senders_sorted,
+            num_nodes,
+            tables=bwd_tables,
+        )
+        dht = dht + dht_send[: ht.shape[0]]
     return dht.astype(ht.dtype), datt.reshape(att.shape), None
 
 

