@@ -33,21 +33,27 @@ from ..kernels import (
 )
 from .. import native
 
-__all__ = ["GraphContext", "prepare_graph", "dep_zero"]
+__all__ = ["GraphContext", "prepare_graph", "chain_after"]
 
 
-def dep_zero(t: jax.Array) -> jax.Array:
-    """A zero int32 scalar with a DATA dependency on ``t``.
+def chain_after(value: jax.Array, *deps: jax.Array) -> jax.Array:
+    """Return ``value`` unchanged but data-dependent on every ``dep``.
 
-    Adding it to a gather's index vector serializes that gather behind
-    ``t`` without changing the indices: XLA co-schedules independent
-    random gathers and they thrash (~2.5x each), while same-index chained
-    gathers are ~free after the first (benchmarks/lottery_probe.py r4).
-    ``nan_to_num`` keeps the chain NaN-proof: a divergent ``t`` (NaN/Inf)
-    must not turn into an implementation-defined float->int cast that
-    silently corrupts the indices (ADVICE r4).
+    Used on a gather's index vector to serialize that gather behind
+    earlier work: XLA co-schedules independent random gathers and they
+    thrash (~2.5x each, benchmarks/lottery_probe.py r4), so dependent
+    ops must be CHAINED. Implemented with ``lax.optimization_barrier``
+    — the r3/r4 arithmetic trick ``idx + (t*0).astype(int32)`` is both
+    NaN-unsafe (NaN*0 -> NaN -> implementation-defined int cast
+    corrupts indices, ADVICE r4) and fragile the NaN-safe way
+    (``nan_to_num(t)*0`` is provably finite, so XLA's algebraic
+    simplifier folds it to 0 and deletes the dependency — measured in
+    the r5 send-bwd probe: the "chained" gathers co-scheduled at 2x).
+    The barrier ties the returned value to the deps structurally and
+    cannot be simplified away.
     """
-    return (jnp.nan_to_num(t.ravel()[0]) * 0.0).astype(jnp.int32)
+    out = jax.lax.optimization_barrier((value, *deps))
+    return out[0]
 
 
 class GraphContext(NamedTuple):
@@ -592,14 +598,19 @@ def _gatv2_attend_bwd(fwd_tables, exp_tables, bwd_tables, num_nodes, heads,
         )
         dht = dht[: ht.shape[0]]
         gb = g.astype(ht.dtype)
-        g_r = jnp.take(gb, r_ss, axis=0)
-        idx2 = r_ss + dep_zero(g_r)
+        # Serialize: gathers must not co-schedule with each other OR
+        # with the Pallas passes (measured destructive overlap, r5
+        # probe) — chain the first take behind the recv pass, then each
+        # take behind the previous.
+        idx1 = chain_after(r_ss, dht)
+        g_r = jnp.take(gb, idx1, axis=0)
+        idx2 = chain_after(r_ss, g_r)
         ht_r = jnp.take(ht, idx2, axis=0)
         stats = jnp.concatenate(
             [m.astype(jnp.float32), l.astype(jnp.float32),
              rho.astype(jnp.float32)[: m.shape[0]]], axis=1,
         )
-        idx3 = idx2 + dep_zero(ht_r)
+        idx3 = chain_after(r_ss, ht_r)
         stats_r = jnp.take(stats, idx3, axis=0)
         dht_send = attend_pallas.attend_send_bwd_sorted(
             ht, g_r, ht_r, stats_r, att_hf, tables=bwd_tables,

@@ -411,14 +411,16 @@ def spmm_local_overlapped(
         )
 
     out_local = _scatter("loc", h_local, kp_meta.loc.num_source_rows)
-    # Chain the remote gather BEHIND the local scatter via a zero-valued
-    # index dependency: XLA co-schedules independent random gathers and
-    # they thrash (~2.5x each, benchmarks/lottery_probe.py r4 — the
-    # "three_takes_distinct" row). The ideal schedule is exactly this
-    # order anyway: the all_to_all runs during the local scatter, and
-    # the remote aggregation follows. dep_zero is NaN-proof (ADVICE r4).
-    dep = csr.dep_zero(out_local)
+    # Chain the remote gather BEHIND the local scatter: XLA co-schedules
+    # independent random gathers and they thrash (~2.5x each,
+    # benchmarks/lottery_probe.py r4 — the "three_takes_distinct" row).
+    # The ideal schedule is exactly this order anyway: the all_to_all
+    # runs during the local scatter, and the remote aggregation follows.
+    # chain_after is an optimization_barrier — NaN-proof AND fold-proof
+    # (the arithmetic +0 trick gets simplified away; ADVICE r4 + r5).
     shard = dict(shard)
-    shard["rem_senders"] = shard["rem_senders"] + dep
+    shard["rem_senders"] = csr.chain_after(
+        shard["rem_senders"], out_local
+    )
     out_remote = _scatter("rem", halo, kp_meta.rem.num_source_rows)
     return out_local + out_remote

@@ -30,8 +30,11 @@ __all__ = [
     "column_parallel_dense",
     "row_parallel_dense",
     "shard_params_tp",
+    "shard_params_gatv2_tp",
     "tp_gcn_block_local",
     "tp_graph_gcn_block_local",
+    "tp_gatv2_block_local",
+    "tp_graph_gatv2_block_local",
 ]
 
 
@@ -150,6 +153,184 @@ def tp_graph_gcn_block_local(
         h, p_shard["layer_1"]["kernel"], p_shard["layer_1"].get("bias"),
         axis=model_axis,
     )
+
+
+def shard_params_gatv2_tp(params: dict, num_shards: int) -> list[dict]:
+    """Host-side: split GATv2Conv params head-wise for the model axis.
+
+    SURVEY §2.4 item 3 / VERDICT r4 item 8: attention heads are
+    embarrassingly parallel through score -> softmax -> aggregate, so
+    the natural GNN tensor parallelism shards the ``[H]`` axis.
+    ``kernel [F_in, H*F]`` splits by head group (contiguous heads per
+    shard, matching the concat order), ``att [H, F]`` by rows; a concat
+    ``bias [H*F]`` splits with its heads, a mean-mode ``bias [F]``
+    replicates.
+    """
+    import numpy as np
+
+    k = np.asarray(params["kernel"])
+    att = np.asarray(params["att"])
+    att = att.reshape(-1, att.shape[-1])  # layer stores (1, H, F)
+    heads, f = att.shape
+    assert heads % num_shards == 0, "heads must divide the model axis"
+    hs = heads // num_shards
+    k3 = k.reshape(k.shape[0], heads, f)
+    shards = []
+    for t in range(num_shards):
+        p = {
+            "kernel": k3[:, t * hs: (t + 1) * hs, :].reshape(
+                k.shape[0], hs * f
+            ),
+            "att": att[t * hs: (t + 1) * hs],
+        }
+        if "bias" in params:
+            b = np.asarray(params["bias"])
+            if b.shape[0] == heads * f:  # concat mode
+                p["bias"] = b.reshape(heads, f)[
+                    t * hs: (t + 1) * hs
+                ].reshape(hs * f)
+            else:  # mean mode: replicated, added after the psum
+                p["bias"] = b
+        shards.append(p)
+    return shards
+
+
+def _gatv2_head_shard(ht, att_shard, senders, receivers, edge_mask, n,
+                      negative_slope, eps, ht_recv=None):
+    """Reference-exact GATv2 attention over this shard's heads only
+    (score -> max-shifted segment softmax -> weighted aggregate);
+    feature/head-wise independent, so NO model-axis collective.
+    ``ht_recv`` (default ``ht``) is the receiver-side table — under
+    graph sharding the senders index the GLOBAL gathered table while
+    the receivers index the LOCAL shard."""
+    from ..ops.segment import segment_softmax, segment_sum
+
+    if ht_recv is None:
+        ht_recv = ht
+    hs, f = att_shard.shape
+    hj = jnp.take(ht, senders, axis=0).reshape(-1, hs, f)
+    hi = jnp.take(ht_recv, receivers, axis=0).reshape(-1, hs, f)
+    pre = hi + hj
+    z = jnp.where(pre > 0, pre, negative_slope * pre)
+    scores = jnp.einsum("ehf,hf->eh", z, att_shard)
+    alpha = segment_softmax(
+        scores, receivers, n, mask=edge_mask, eps=eps,
+    )
+    msgs = (alpha[:, :, None] * hj).reshape(-1, hs * f)
+    return segment_sum(msgs, receivers, n, mask=edge_mask)
+
+
+def tp_gatv2_block_local(
+    p_shard: dict,
+    x: jax.Array,
+    senders: jax.Array,
+    receivers: jax.Array,
+    edge_mask: jax.Array,
+    *,
+    axis: str = "model",
+    concat: bool = True,
+    heads_total: int | None = None,
+    negative_slope: float = 0.2,
+    eps: float = 1e-10,
+) -> jax.Array:
+    """Per-chip body of a head-sharded GATv2 layer (model axis only).
+
+    ``W`` column-parallel by head group -> per-shard score/softmax/
+    aggregate (zero comm — softmax is per (receiver, head)) -> ONE
+    model-axis collective at the head merge: an ``all_gather`` for the
+    concat output (head axis re-assembled shard-major, matching the
+    unsharded head order) or a ``psum``/H for head-mean mode.
+    Numerically identical to the unsharded GATv2Conv forward with the
+    same weights (tests pin it on the virtual mesh).
+
+    Reference semantics sharded here:
+    /root/reference/src/keras_geometric/layers/gatv2_conv.py:268-335.
+    """
+    att_shard = p_shard["att"]
+    hs, f = att_shard.shape
+    n = x.shape[0]
+    ht = x @ p_shard["kernel"]  # [N, hs*F] — column-parallel, no comm
+    agg = _gatv2_head_shard(
+        ht, att_shard, senders, receivers, edge_mask, n,
+        negative_slope, eps,
+    )  # [N, hs*F]
+    if concat:
+        gathered = jax.lax.all_gather(
+            agg.reshape(n, hs, f), axis, axis=1, tiled=True
+        )  # [N, H, F] shard-major == unsharded head order
+        out = gathered.reshape(n, -1)
+        if "bias" in p_shard:
+            # bias is head-sharded; gather it the same way
+            b = jax.lax.all_gather(
+                p_shard["bias"].reshape(hs, f), axis, axis=0, tiled=True
+            ).reshape(-1)
+            out = out + b
+        return out
+    if heads_total is None:
+        raise ValueError("heads_total required for mean (concat=False)")
+    out = jax.lax.psum(
+        jnp.sum(agg.reshape(n, hs, f), axis=1), axis
+    ) / heads_total
+    if "bias" in p_shard:
+        out = out + p_shard["bias"]  # replicated [F] bias
+    return out
+
+
+def tp_graph_gatv2_block_local(
+    p_shard: dict,
+    x_local: jax.Array,
+    senders_global: jax.Array,
+    receivers_local: jax.Array,
+    edge_mask: jax.Array,
+    *,
+    graph_axis: str = "graph",
+    model_axis: str = "model",
+    concat: bool = True,
+    heads_total: int | None = None,
+    negative_slope: float = 0.2,
+    eps: float = 1e-10,
+) -> jax.Array:
+    """2-D (graph x model) head-sharded GATv2: nodes over ``graph``
+    (receiver-range partitioning keeps every softmax chip-local),
+    heads over ``model``.
+
+    The axes compose exactly as in :func:`tp_graph_gcn_block_local`:
+    the sender table all_gather over ``graph`` moves the HEAD-SHARDED
+    ``ht`` (``N * H*F/T`` bytes, T-fold less than unsharded), the
+    attention itself needs no collective, and the single model-axis
+    merge happens on node-sharded outputs.
+    """
+    att_shard = p_shard["att"]
+    hs, f = att_shard.shape
+    num_local = x_local.shape[0]
+    ht_local = x_local @ p_shard["kernel"]  # [L, hs*F]
+    ht_full = jax.lax.all_gather(
+        ht_local, graph_axis, axis=0, tiled=True
+    )  # [N, hs*F] — head-sharded: T-fold smaller than full
+    agg = _gatv2_head_shard(
+        ht_full, att_shard, senders_global, receivers_local, edge_mask,
+        num_local, negative_slope, eps, ht_recv=ht_local,
+    )  # [L, hs*F]
+    if concat:
+        gathered = jax.lax.all_gather(
+            agg.reshape(num_local, hs, f), model_axis, axis=1, tiled=True
+        )
+        out = gathered.reshape(num_local, -1)
+        if "bias" in p_shard:
+            b = jax.lax.all_gather(
+                p_shard["bias"].reshape(hs, f), model_axis, axis=0,
+                tiled=True,
+            ).reshape(-1)
+            out = out + b
+        return out
+    if heads_total is None:
+        raise ValueError("heads_total required for mean (concat=False)")
+    out = jax.lax.psum(
+        jnp.sum(agg.reshape(num_local, hs, f), axis=1), model_axis
+    ) / heads_total
+    if "bias" in p_shard:
+        out = out + p_shard["bias"]
+    return out
 
 
 def tp_gcn_block_local(
