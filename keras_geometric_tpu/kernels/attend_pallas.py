@@ -12,25 +12,27 @@ boundary-encoded work-list grids of kernels/spmm_pallas.py:
   (= sum_{e in r} alpha * d_alpha, the softmax-Jacobian row term).
 - :func:`attend_recv_bwd_full_sorted` (receiver grid): ds = alpha *
   (d_alpha - rho_e) and d_pre in-register; scatters the receiver-side
-  d ht and accumulates datt. With ``emit_v=True`` it also EMITS the
-  total per-edge sender cotangent ``v = alpha_keep * g[recv] + d_pre``
-  for the legacy single-permute finish; the r5 default path passes
-  ``emit_v=False`` and finishes with :func:`attend_send_bwd_sorted`.
+  d ht and accumulates datt. With ``emit_v=True`` (the default path) it
+  also EMITS the total per-edge sender cotangent ``v = alpha_keep *
+  g[recv] + d_pre`` for the single-permute finish; ``emit_v=False``
+  pairs with :func:`attend_send_bwd_sorted`.
 - :func:`attend_send_bwd_sorted` (sender grid, r5): recomputes alpha,
-  ds and d_pre in SENDER-sorted order from three chained N-row gathers
-  (g/ht/packed-stats by receivers-in-sender-order) plus the block-
-  streamed sender rows, and scatters ``v`` straight into d ht — no
-  [E, D] permute anywhere.
+  ds and d_pre in SENDER-sorted order from three gathers by
+  receivers-in-sender-order plus the block-streamed sender rows, and
+  scatters ``v`` straight into d ht — no [E, D] permute.
 
-Design history: the r2 sender-grid path was deleted in r3 over a
-"12-42 ms multi-gather lottery"; the r4 fresh-process matrix
-(benchmarks/RESULTS.md) decomposed that lottery into XLA co-scheduling
-of INDEPENDENT gathers (~2.5x each) — same-index CHAINED gathers cost
-~0.1 ms marginal, and N-row bf16 sources sit under the ~128 MB
-gather-source cliff (~4.5 ms) while an [E, 256] permute source is
-pinned at ~15 ms on the far side. r5 rebuilds the sender-orientation
-recompute under those rules (VERDICT r4 item 1): three chained N-row
-gathers (~4.7 ms) replace the one E-row permute (~15.9 ms).
+Design history (three rounds of measurement): the r2 sender-grid path
+was deleted in r3 over a "12-42 ms multi-gather lottery"; the r4
+fresh-process matrix reframed that as co-scheduling of independent
+gathers with chained gathers ~free; r5 REBUILT the sender-grid path to
+cash that in and measured it SLOWER (benchmarks/send_bwd_probe.py):
+with materializing [E, D] takes the multi-gather penalty applies no
+matter how the takes are serialized (independent / optimization_barrier
+-chained / concat-fused: 27.6-44.2 ms for three takes vs 4.3 ms solo) —
+the r4 "~0.1 ms marginal" takes were scalar-reduced gathers XLA fused
+into one loop. The empirical law on this stack is ONE large random
+access per program, which is exactly the single-permute design
+(ops/csr.ATTEND_BWD_MODE keeps the alternative selectable).
 
 Out-of-interval (padded) edge slots are masked by the interval one-hot
 inside every kernel, so no -inf masking pass over [E, K] is needed

@@ -310,17 +310,16 @@ class GraphContext(NamedTuple):
         α-weighted aggregation — ``ht`` is ``[N, H·F]``, ``att`` is
         ``[H, F]``, output ``[N, H·F]``.
 
-        The backward touches random memory only through N-row-source
-        takes (r5): a receiver-grid pass scatters the receiver-side d ht
-        and datt from block-streamed expands, then a sender-grid pass
-        (kernels/attend_pallas.attend_send_bwd_sorted) recomputes the
-        per-edge sender cotangent from three CHAINED node-table gathers
-        and scatters it directly — no [E, H·F] permute anywhere (see
-        _gatv2_attend_bwd). With dropout, pass BOTH mask orders
-        (``drop_mask`` receiver-sorted, ``drop_mask_ss`` sender-sorted —
-        ops/edge_dropout.attention_keep_masks generates the pair without
-        a permute); giving only ``drop_mask`` falls back to the legacy
-        single-permute backward.
+        The backward touches random memory exactly ONCE: the receiver-
+        grid pass builds the total per-edge sender cotangent from
+        block-streamed expands, and a single ``[E, H·F]`` permute +
+        sorted scatter finishes the sender side — the measured optimum
+        on this stack, where any program with >1 large materializing
+        gather degrades every gather ~2x (see ATTEND_BWD_MODE; the r5
+        sender-grid recompute alternative is kept selectable).
+        ``drop_mask_ss`` (the same dropout mask in sender-sorted order,
+        generated permute-free by ops/edge_dropout.attention_keep_masks)
+        is only consumed by that alternative mode.
         """
         ctx = self.full_stream()
         h = int(att.shape[0])
@@ -551,33 +550,41 @@ def _gatv2_attend_fwd(ht, att, arrays, fwd_tables, exp_tables, bwd_tables,
     return out, (ht, att, arrays, hj, scores, m, l)
 
 
+# Backward strategy for the fused attend (single-chip):
+#
+# - "permute" (DEFAULT): ONE [E, H*F] edge permute + sorted scatter
+#   finishes the sender side. The permute's E-row source sits beyond
+#   the ~128 MB gather cliff (~15.9 ms at arxiv scale), but it is the
+#   program's ONLY large random access.
+# - "send": the r5 sender-grid recompute (attend_send_bwd_sorted) —
+#   three gathers by receivers-in-sender-order + in-register recompute.
+#   BUILT AND MEASURED SLOWER (benchmarks/send_bwd_probe.py, r5): any
+#   program with more than one large materializing gather degrades
+#   EVERY gather to ~2x its solo cost — independent, dependency-chained
+#   (optimization_barrier) and concat-fused forms all measured 27.6 to
+#   44.2 ms for the three takes vs 15.9 ms for the single permute, and
+#   sources wider than 256 lanes hit a second cliff (108 MB @ 320
+#   lanes: 20.7 ms). The r4 lottery probe's "~0.1 ms marginal chained
+#   takes" were scalar-REDUCED gathers XLA fused into one loop; the
+#   discount does not exist for materializing takes. Kept selectable
+#   for regression probes; the empirical law on this stack is ONE
+#   random access per program.
+ATTEND_BWD_MODE = "permute"
+
+
 def _gatv2_attend_bwd(fwd_tables, exp_tables, bwd_tables, num_nodes, heads,
                       negative_slope, eps, res, g):
-    """Permutation-free kernel-complete backward (r5; three Pallas
-    passes + three chained N-row gathers, kernels/attend_pallas.py):
+    """Single-permute kernel-complete backward (see ATTEND_BWD_MODE):
 
     1. ``attend_rho_sorted`` (receiver grid): the softmax-Jacobian row
        term rho (r4 slim: no d_alpha stream — the next pass recomputes
        it in-register from the same g expand);
-    2. ``attend_recv_bwd_full_sorted(emit_v=False)`` (receiver grid):
-       ds = alpha (d_alpha - rho_e), d_pre formed in-register and
-       scattered straight into d ht; emits datt — every node-side input
-       arrives via block-streamed expands, no random access;
-    3. ``attend_send_bwd_sorted`` (sender grid): gathers g / ht /
-       packed (m|l|rho) by receivers-in-sender-order — three CHAINED
-       same-index takes over N-row bf16/under-cliff sources (~4.7 ms
-       at arxiv scale, benchmarks/lottery_probe.py r4) — recomputes
-       alpha/ds/d_pre in-register (score recompute is bit-exact vs the
-       forward) and scatters the sender cotangent directly.
-
-    Design history: the r2 sender-grid recompute was deleted in r3 over
-    a "12-42 ms multi-gather lottery" and replaced by ONE [E, H·F]
-    permute + sorted scatter. The r4 measurement matrix decomposed that
-    lottery into co-scheduling of INDEPENDENT gathers; chained
-    same-index gathers cost ~0.1 ms marginal while the E-row permute
-    source sits beyond the ~128 MB gather cliff, pinned at ~15.9 ms.
-    r5 cashes that in (VERDICT r4 item 1). The legacy path survives
-    only for dropout masks without a sender-order companion.
+    2. ``attend_recv_bwd_full_sorted`` (receiver grid): ds = alpha
+       (d_alpha - rho_e), d_pre formed in-register and scattered
+       straight into d ht; emits datt and (permute mode) the per-edge
+       sender cotangent ``v = alpha_keep * g[recv] + d_pre``;
+    3. ``take(v, perm)`` + sorted scatter over the transposed tables —
+       or, in "send" mode, the measured-slower sender-grid recompute.
     """
     ht, att, arrays, hj, scores, m, l = res
     _senders, receivers, _mask, perm, senders_sorted, r_ss, \
@@ -589,7 +596,9 @@ def _gatv2_attend_bwd(fwd_tables, exp_tables, bwd_tables, num_nodes, heads,
         g, scores, m, l, hj, tables=fwd_tables, eps=eps,
         drop_mask=drop_mask,
     )
-    use_send = drop_mask is None or drop_ss is not None
+    use_send = ATTEND_BWD_MODE == "send" and (
+        drop_mask is None or drop_ss is not None
+    )
     if use_send:
         dht, datt = attend_pallas.attend_recv_bwd_full_sorted(
             ht, g, hj, att_hf, scores, m, l, rho,

@@ -147,15 +147,19 @@ class TestGATv2:
         ):
             np.testing.assert_allclose(a, b, rtol=2e-3, atol=1e-4)
 
-    @pytest.mark.parametrize("with_dropout", [False, "legacy", "ss"])
-    def test_attend_vjp_vs_autodiff(self, case, rng, with_dropout):
+    @pytest.mark.parametrize("mode", ["permute", "send"])
+    @pytest.mark.parametrize("with_dropout", [False, "ss"])
+    def test_attend_vjp_vs_autodiff(self, case, rng, with_dropout, mode,
+                                    monkeypatch):
         """The hand-written attend backward (ops/csr.py) vs jax.grad of
         a pure-XLA restatement with the SAME edge order, mask (includes
         padded slots) and dropout mask — values and both input
-        cotangents (ht, att). ``with_dropout="ss"`` also supplies the
-        sender-order mask, exercising the r5 sender-grid recompute
-        backward under dropout; ``"legacy"`` exercises the
-        single-permute fallback."""
+        cotangents (ht, att), for BOTH backward strategies
+        (ATTEND_BWD_MODE: the default single-permute finish and the r5
+        sender-grid recompute kept for probes)."""
+        from keras_geometric_tpu.ops import csr as csr_mod
+
+        monkeypatch.setattr(csr_mod, "ATTEND_BWD_MODE", mode)
         n, ei, x, f = case
         heads, fh = 2, 8
         ctx = prepare_graph(ei, n, add_self_loops=True)
