@@ -240,26 +240,53 @@ def attend_aggregate_sorted(
 # --------------------------------------------------------------------------
 
 
+def _alpha_recomputed(onehot_t, rows_ref, hjf, att_row, sel_ref, ml_ref,
+                      k, eps, negative_slope, precision):
+    """alpha [EC, K] with the score recomputed in-register — the SAME
+    exact f32 expression as the fused forward (pre is a f32 sum of the
+    same bf16 values; z and the MXU head-sum are identical), so
+    s == s_fwd bitwise for valid in-interval edges and the min clamp is
+    exact (s <= m by construction). Saves the [E, K] f32 score cache
+    (686 MB physical at arxiv scale) that r4 wrote in the forward and
+    re-read in both backward passes (r5)."""
+    hi_b = _dots(onehot_t, rows_ref[:], precision, ((1,), (0,)))
+    pre = hi_b + hjf
+    z = jnp.where(pre > 0, pre, negative_slope * pre)
+    s = _dots_data_lhs(z * att_row, sel_ref[:], precision, ((1,), (0,)))
+    ml = _dots(onehot_t, ml_ref[:].astype(jnp.float32), precision,
+               ((1,), (0,)))  # [EC, 2K]
+    m_e, l_e = ml[:, :k], ml[:, k:2 * k]
+    inblk = jnp.sum(onehot_t, axis=1, keepdims=True) > 0.0
+    alpha = jnp.exp(jnp.minimum(s - m_e, 0.0)) / (l_e + eps)
+    return jnp.where(inblk, alpha, 0.0), pre
+
+
 def _rho_kernel(
     wb_ref, wc_ref, wf_ref,  # SMEM scalars (3 prefetch)
     bounds_ref,  # [1, 2, RB]
     g_ref,  # [RB, D] output cotangent rows
     ml_ref,  # [RB, 2K]
-    s_ref,  # [EC, K]
-    hj_ref,  # [EC, D]
-    sel_ref,  # [D, K]
     *rest,
     edge_chunk: int,
     k: int,
     eps: float,
+    negative_slope: float,
     precision,
     dropped: bool,
+    recompute: bool,
+    masked: bool,
 ):
-    if dropped:
-        drop_ref, rho_ref, rho_acc = rest
+    refs = list(rest)
+    if recompute:
+        rows_ref, att_ref = refs.pop(0), refs.pop(0)
+        s_ref = None
     else:
-        rho_ref, rho_acc = rest
-        drop_ref = None
+        s_ref = refs.pop(0)
+        rows_ref = att_ref = None
+    hj_ref, sel_ref = refs.pop(0), refs.pop(0)
+    valid_ref = refs.pop(0) if masked else None
+    drop_ref = refs.pop(0) if dropped else None
+    rho_ref, rho_acc = refs
     w = pl.program_id(0)
     base = wc_ref[w] * edge_chunk
     rb = bounds_ref.shape[2]
@@ -269,7 +296,16 @@ def _rho_kernel(
     hjf = hj_ref[:].astype(jnp.float32)
     dalpha = _dots_data_lhs(gexp * hjf, sel_ref[:], precision,
                             ((1,), (0,)))  # [EC, K]
-    alpha = _alpha_from(onehot_t, ml_ref, s_ref, k, eps, precision)
+    if recompute:
+        att_row = att_ref[0:1, :].astype(jnp.float32)
+        alpha, _pre = _alpha_recomputed(
+            onehot_t, rows_ref, hjf, att_row, sel_ref, ml_ref, k, eps,
+            negative_slope, precision,
+        )
+        if masked:
+            alpha = alpha * valid_ref[0, 0:1, :].reshape(edge_chunk, 1)
+    else:
+        alpha = _alpha_from(onehot_t, ml_ref, s_ref, k, eps, precision)
     if dropped:
         dalpha = dalpha * drop_ref[:].astype(jnp.float32)
     rho_contrib = _dots(hit, alpha * dalpha, precision, ((1,), (0,)))
@@ -293,7 +329,7 @@ def _rho_kernel(
 
 def attend_rho_sorted(
     g: jax.Array,  # [N, D] output cotangent
-    scores: jax.Array,  # [E, K] f32
+    scores: jax.Array | None,  # [E, K] f32, or None to recompute (r5)
     m: jax.Array,
     l: jax.Array,
     hj: jax.Array,  # [E, D]
@@ -302,18 +338,29 @@ def attend_rho_sorted(
     eps: float = 1e-10,
     drop_mask: jax.Array | None = None,
     precision=None,
+    rows: jax.Array | None = None,  # [N, D] ht — required if scores=None
+    att: jax.Array | None = None,  # [K, F] — required if scores=None
+    negative_slope: float = 0.2,
+    edge_valid: jax.Array | None = None,  # [E] 1/0 (recompute mode)
 ) -> jax.Array:
     """Softmax-Jacobian row term ``rho [N_pad, K] f32`` only (r4 slim:
     the r3 version also wrote d_alpha [E, K] to HBM, but the recv-grid
     kernel recomputes d_alpha in-register from the same g expand it
-    already performs — the extra stream bought nothing)."""
+    already performs — the extra stream bought nothing).
+
+    ``scores=None`` (r5): the score is recomputed in-register from the
+    ``rows`` expand + the hj stream this kernel already reads — the
+    forward then skips emitting the [E, K] f32 score cache entirely
+    (686 MB physical at arxiv scale, written once + read twice).
+    ``edge_valid`` masks padded edge slots (the cached-score mode
+    inherits -inf scores for them instead)."""
     e, d = hj.shape
-    k = scores.shape[1]
+    k = m.shape[1]
     ec, rb = tables.edge_chunk, tables.row_block
     nb = tables.bounds.shape[0]
     e_pad = ((e + ec - 1) // ec) * ec
     n_pad = nb * rb
-    s_p = jnp.pad(scores.astype(jnp.float32), ((0, e_pad - e), (0, 0)))
+    recompute = scores is None
     hj_p = jnp.pad(hj, ((0, e_pad - e), (0, 0)))
     g_p = jnp.pad(g, ((0, n_pad - g.shape[0]), (0, 0)))
     ml = jnp.pad(
@@ -335,14 +382,44 @@ def attend_rho_sorted(
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((rb, 2 * k), lambda w, b, c, fl: (b[w], 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((ec, k), lambda w, b, c, fl: (c[w], 0),
-                     memory_space=pltpu.VMEM),
+    ]
+    args = [jnp.asarray(tables.bounds), g_p, ml]
+    if recompute:
+        if rows is None or att is None:
+            raise ValueError("scores=None needs rows= and att=")
+        in_specs += [
+            pl.BlockSpec((rb, d), lambda w, b, c, fl: (b[w], 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d), lambda w, b, c, fl: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+        args += [
+            jnp.pad(rows, ((0, n_pad - rows.shape[0]), (0, 0))),
+            att.reshape(1, d),
+        ]
+    else:
+        in_specs.append(
+            pl.BlockSpec((ec, k), lambda w, b, c, fl: (c[w], 0),
+                         memory_space=pltpu.VMEM)
+        )
+        args.append(
+            jnp.pad(scores.astype(jnp.float32), ((0, e_pad - e), (0, 0)))
+        )
+    in_specs += [
         pl.BlockSpec((ec, d), lambda w, b, c, fl: (c[w], 0),
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((d, k), lambda w, b, c, fl: (0, 0),
                      memory_space=pltpu.VMEM),
     ]
-    args = [jnp.asarray(tables.bounds), g_p, ml, s_p, hj_p, sel]
+    args += [hj_p, sel]
+    masked = recompute and edge_valid is not None
+    if masked:
+        vm = jnp.pad(edge_valid.astype(jnp.float32), (0, e_pad - e))
+        in_specs.append(
+            pl.BlockSpec((1, 1, ec), lambda w, b, c, fl: (c[w], 0, 0),
+                         memory_space=pltpu.VMEM)
+        )
+        args.append(vm.reshape(e_pad // ec, 1, ec))
     dropped = drop_mask is not None
     if dropped:
         dm = jnp.pad(
@@ -364,7 +441,8 @@ def attend_rho_sorted(
     rho = pl.pallas_call(
         functools.partial(
             _rho_kernel, edge_chunk=ec, k=k, eps=float(eps),
-            precision=precision, dropped=dropped,
+            negative_slope=float(negative_slope), precision=precision,
+            dropped=dropped, recompute=recompute, masked=masked,
         ),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n_pad, k), jnp.float32),
@@ -391,11 +469,6 @@ def _recv_bwd_full_kernel(
     rows_ref,  # [RB, D] ht rows (receiver blocks)
     g_ref,  # [RB, D] output-cotangent rows (receiver blocks)
     mlr_ref,  # [RB, 3K] (m | l | rho)
-    s_ref,  # [EC, K]
-    hj_ref,  # [EC, D]
-    att_ref,  # [1, D]
-    selt_ref,  # [K, D]
-    sel_ref,  # [D, K]
     *rest,
     edge_chunk: int,
     k: int,
@@ -404,8 +477,15 @@ def _recv_bwd_full_kernel(
     precision,
     dropped: bool,
     emit_v: bool,
+    recompute: bool,
+    masked: bool,
 ):
     refs = list(rest)
+    s_ref = None if recompute else refs.pop(0)
+    hj_ref, att_ref, selt_ref, sel_ref = (
+        refs.pop(0), refs.pop(0), refs.pop(0), refs.pop(0)
+    )
+    valid_ref = refs.pop(0) if masked else None
     drop_ref = refs.pop(0) if dropped else None
     if emit_v:
         out_ref, datt_ref, v_ref, acc_ref, datt_acc, v_acc = refs
@@ -425,9 +505,26 @@ def _recv_bwd_full_kernel(
                 ((1,), (0,)))  # [EC, 3K]
     m_e, l_e, rho_e = mlr[:, :k], mlr[:, k:2 * k], mlr[:, 2 * k:]
     inblk = jnp.sum(onehot_t, axis=1, keepdims=True) > 0.0
-    s = s_ref[:].astype(jnp.float32)
-    alpha = jnp.where(inblk, jnp.exp(s - m_e) / (l_e + eps), 0.0)
     hjf = hj_ref[:].astype(jnp.float32)
+    hi_b = _dots(onehot_t, rows_ref[:], precision, ((1,), (0,)))
+    pre = hi_b + hjf
+    att_row = att_ref[0:1, :].astype(jnp.float32)
+    if recompute:
+        # In-register score recompute (r5, see _alpha_recomputed): this
+        # kernel already expands the receiver rows for pre, so s costs
+        # one extra MXU head-sum and the [E, K] f32 score cache dies.
+        z0 = jnp.where(pre > 0, pre, negative_slope * pre)
+        s = _dots_data_lhs(z0 * att_row, sel_ref[:], precision,
+                           ((1,), (0,)))
+        alpha = jnp.where(
+            inblk,
+            jnp.exp(jnp.minimum(s - m_e, 0.0)) / (l_e + eps), 0.0,
+        )
+        if masked:
+            alpha = alpha * valid_ref[0, 0:1, :].reshape(edge_chunk, 1)
+    else:
+        s = s_ref[:].astype(jnp.float32)
+        alpha = jnp.where(inblk, jnp.exp(s - m_e) / (l_e + eps), 0.0)
     # d_alpha in-register from the g expand this kernel performs anyway
     # (r4: the separate [E, K] d_alpha stream from the rho pass bought
     # nothing — same g_b, one extra MXU op here).
@@ -437,11 +534,8 @@ def _recv_bwd_full_kernel(
         da = da * drop_ref[:].astype(jnp.float32)
     ds = alpha * (da - rho_e)  # 0 out-of-block
 
-    hi_b = _dots(onehot_t, rows_ref[:], precision, ((1,), (0,)))
-    pre = hi_b + hjf
     lmask = jnp.where(pre > 0, 1.0, negative_slope)
     dse = _dots_data_lhs(ds, selt_ref[:], precision, ((1,), (0,)))
-    att_row = att_ref[0:1, :].astype(jnp.float32)
     dpre = dse * att_row * lmask  # [EC, D]; 0 where ds == 0
 
     contrib = _dots(hit, dpre.astype(hj_ref.dtype), precision,
@@ -512,7 +606,7 @@ def attend_recv_bwd_full_sorted(
     g: jax.Array,  # [N(_pad), D] output cotangent (receiver rows)
     hj: jax.Array,  # [E, D]
     att: jax.Array,  # [K, F]
-    scores: jax.Array,  # [E, K] f32
+    scores: jax.Array | None,  # [E, K] f32, or None to recompute (r5)
     m: jax.Array,
     l: jax.Array,
     rho: jax.Array,  # [N_pad or N, K] f32
@@ -523,14 +617,17 @@ def attend_recv_bwd_full_sorted(
     drop_mask: jax.Array | None = None,  # [E, K] pre-scaled keep mask
     precision=None,
     emit_v: bool = True,
+    edge_valid: jax.Array | None = None,  # [E] 1/0 (recompute mode)
 ) -> tuple[jax.Array, ...]:
     """Receiver-grid backward: returns ``(d_ht_recv [N_pad, D],
-    datt [K, F], v [E, D])`` with ``emit_v=True`` (legacy single-permute
+    datt [K, F], v [E, D])`` with ``emit_v=True`` (the single-permute
     finish; ``v = alpha_keep * g[recv] + d_pre`` in receiver-sorted
-    order) or ``(d_ht_recv, datt)`` with ``emit_v=False`` (r5: the
-    sender side is recomputed by :func:`attend_send_bwd_sorted`, so the
-    686 MB v stream is never written). d_alpha is recomputed in-register
+    order) or ``(d_ht_recv, datt)`` with ``emit_v=False`` (pairs with
+    :func:`attend_send_bwd_sorted`). d_alpha is recomputed in-register
     from the g expand (r4 — no [E, K] d_alpha stream from the rho pass).
+    ``scores=None`` (r5) recomputes the score in-register from the pre
+    this kernel already forms — the [E, K] f32 cache dies; padded edge
+    slots then need ``edge_valid`` (cached mode inherits their -inf).
 
     All node-side inputs arrive via block-streamed expands, so no random
     access appears in this pass at all.
@@ -541,7 +638,7 @@ def attend_recv_bwd_full_sorted(
     nb = tables.bounds.shape[0]
     e_pad = ((e + ec - 1) // ec) * ec
     n_pad = nb * rb
-    s_p = jnp.pad(scores.astype(jnp.float32), ((0, e_pad - e), (0, 0)))
+    recompute = scores is None
     hj_p = jnp.pad(hj, ((0, e_pad - e), (0, 0)))
     rows = jnp.pad(ht, ((0, n_pad - ht.shape[0]), (0, 0)))
     g_rows = jnp.pad(
@@ -563,6 +660,7 @@ def attend_recv_bwd_full_sorted(
             else jax.lax.Precision.DEFAULT
         )
     dropped = drop_mask is not None
+    masked = recompute and edge_valid is not None
     in_specs = [
         pl.BlockSpec((1, 2, rb), lambda w, b, c, fl, f2: (b[w], 0, 0),
                      memory_space=pltpu.VMEM),
@@ -572,8 +670,17 @@ def attend_recv_bwd_full_sorted(
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((rb, 3 * k), lambda w, b, c, fl, f2: (b[w], 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((ec, k), lambda w, b, c, fl, f2: (c[w], 0),
-                     memory_space=pltpu.VMEM),
+    ]
+    args = [jnp.asarray(tables.bounds), rows, g_rows, mlr]
+    if not recompute:
+        in_specs.append(
+            pl.BlockSpec((ec, k), lambda w, b, c, fl, f2: (c[w], 0),
+                         memory_space=pltpu.VMEM)
+        )
+        args.append(
+            jnp.pad(scores.astype(jnp.float32), ((0, e_pad - e), (0, 0)))
+        )
+    in_specs += [
         pl.BlockSpec((ec, d), lambda w, b, c, fl, f2: (c[w], 0),
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((1, d), lambda w, b, c, fl, f2: (0, 0),
@@ -583,8 +690,14 @@ def attend_recv_bwd_full_sorted(
         pl.BlockSpec((d, k), lambda w, b, c, fl, f2: (0, 0),
                      memory_space=pltpu.VMEM),
     ]
-    args = [jnp.asarray(tables.bounds), rows, g_rows, mlr, s_p,
-            hj_p, att_flat, selt, sel]
+    args += [hj_p, att_flat, selt, sel]
+    if masked:
+        vm = jnp.pad(edge_valid.astype(jnp.float32), (0, e_pad - e))
+        in_specs.append(
+            pl.BlockSpec((1, 1, ec), lambda w, b, c, fl, f2: (c[w], 0, 0),
+                         memory_space=pltpu.VMEM)
+        )
+        args.append(vm.reshape(e_pad // ec, 1, ec))
     if dropped:
         dm = jnp.pad(drop_mask.astype(jnp.float32),
                      ((0, e_pad - e), (0, 0)))
@@ -625,7 +738,8 @@ def attend_recv_bwd_full_sorted(
         functools.partial(
             _recv_bwd_full_kernel, edge_chunk=ec, k=k, eps=float(eps),
             negative_slope=float(negative_slope), precision=precision,
-            dropped=dropped, emit_v=emit_v,
+            dropped=dropped, emit_v=emit_v, recompute=recompute,
+            masked=masked,
         ),
         grid_spec=grid_spec,
         out_shape=out_shape,

@@ -360,6 +360,7 @@ def _sddmm_stats_agg_kernel(
     eps: float,
     precision,
     dropped: bool,
+    emit_scores: bool,
 ):
     """The COMPLETE fused GATv2 forward in one pass (r4, VERDICT item 2):
     SDDMM scores + flash-style online softmax stats + ONLINE alpha-weighted
@@ -382,8 +383,13 @@ def _sddmm_stats_agg_kernel(
     """
     refs = list(rest)
     drop_ref = refs.pop(0) if dropped else None
-    scores_ref, m_out_ref, l_out_ref, out_ref, \
-        acc_ref, m_acc_ref, l_acc_ref, o_acc_ref, s_cache_ref = refs
+    if emit_scores:
+        scores_ref, m_out_ref, l_out_ref, out_ref, \
+            acc_ref, m_acc_ref, l_acc_ref, o_acc_ref, s_cache_ref = refs
+    else:
+        m_out_ref, l_out_ref, out_ref, \
+            acc_ref, m_acc_ref, l_acc_ref, o_acc_ref = refs
+        scores_ref = s_cache_ref = None
     w = pl.program_id(0)
     base = work_chunk_ref[w] * edge_chunk
     rb = bounds_ref.shape[2]
@@ -426,10 +432,14 @@ def _sddmm_stats_agg_kernel(
     s_item = jnp.where(valid.reshape(edge_chunk, 1) > 0, s_item, neg)
 
     # Score cache: overwrite this block's rows, keep others (fresh -inf
-    # at chunk start so padded slots flush as -inf).
+    # at chunk start so padded slots flush as -inf). Skipped entirely
+    # in no-cache mode (r5: the backward recomputes s in-register).
     inblk = jnp.sum(onehot, axis=1, keepdims=True) > 0.0  # [EC, 1]
-    prev = jnp.where(c_first, jnp.full_like(s_item, neg), s_cache_ref[:])
-    s_cache_ref[:] = jnp.where(inblk, s_item, prev)
+    if emit_scores:
+        prev = jnp.where(
+            c_first, jnp.full_like(s_item, neg), s_cache_ref[:]
+        )
+        s_cache_ref[:] = jnp.where(inblk, s_item, prev)
 
     # Per-head masked max over this block's edges.
     lo_r = bounds_ref[0, 0:1, :].reshape(rb, 1)
@@ -487,9 +497,10 @@ def _sddmm_stats_agg_kernel(
         l_d = _dots_data_lhs(l_new, selt_ref[:], "split2", ((1,), (0,)))
         out_ref[:] = (o_acc_ref[:] / (l_d + eps)).astype(out_ref.dtype)
 
-    @pl.when(c_last)
-    def _():
-        scores_ref[:] = s_cache_ref[:].astype(scores_ref.dtype)
+    if emit_scores:
+        @pl.when(c_last)
+        def _():
+            scores_ref[:] = s_cache_ref[:].astype(scores_ref.dtype)
 
 
 def sddmm_stats_agg_sorted(
@@ -504,15 +515,19 @@ def sddmm_stats_agg_sorted(
     eps: float = 1e-10,
     drop_mask: jax.Array | None = None,  # [E, H] pre-scaled keep mask
     precision=None,
-) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+    emit_scores: bool = True,
+) -> tuple[jax.Array, ...]:
     """One-pass fused GATv2 forward: returns ``(out [N_pad, D], scores
-    [E, H] f32 (padded slots -inf), m [N, H], l [N, H])``.
+    [E, H] f32 (padded slots -inf), m [N, H], l [N, H])`` — or
+    ``(out, m, l)`` with ``emit_scores=False`` (r5: the backward
+    recomputes scores in-register, so the [E, H] f32 cache — 686 MB
+    physical at arxiv scale, written here and read by both backward
+    passes — is never materialized).
 
     Replaces ``sddmm_stats_sorted`` + ``attend_aggregate_sorted`` (two
-    full passes over the edge stream) with one kernel; scores/m/l are
-    still emitted for the backward. ``drop_mask`` applies attention
-    dropout to the aggregation only (reference semantics: dropout after
-    normalization, gatv2_conv.py:252-253).
+    full passes over the edge stream) with one kernel. ``drop_mask``
+    applies attention dropout to the aggregation only (reference
+    semantics: dropout after normalization, gatv2_conv.py:252-253).
     """
     e, d = hj.shape
     heads = att.shape[0]
@@ -563,41 +578,51 @@ def sddmm_stats_agg_sorted(
                          memory_space=pltpu.VMEM)
         )
         args.append(dm)
+    out_specs = [
+        pl.BlockSpec((rb, heads), lambda w, b, c, f1, f2: (b[w], 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((rb, heads), lambda w, b, c, f1, f2: (b[w], 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((rb, d), lambda w, b, c, f1, f2: (b[w], 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((num_blocks * rb, heads), jnp.float32),
+        jax.ShapeDtypeStruct((num_blocks * rb, heads), jnp.float32),
+        jax.ShapeDtypeStruct((num_blocks * rb, d), hj.dtype),
+    ]
+    scratch = [
+        pltpu.VMEM((ec, d), jnp.float32),
+        pltpu.VMEM((rb, heads), jnp.float32),
+        pltpu.VMEM((rb, heads), jnp.float32),
+        pltpu.VMEM((rb, d), jnp.float32),
+    ]
+    if emit_scores:
+        out_specs.insert(
+            0,
+            pl.BlockSpec((ec, heads), lambda w, b, c, f1, f2: (c[w], 0),
+                         memory_space=pltpu.VMEM),
+        )
+        out_shape.insert(
+            0, jax.ShapeDtypeStruct((e_pad, heads), jnp.float32)
+        )
+        scratch.append(pltpu.VMEM((ec, heads), jnp.float32))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
         grid=(tables.num_work,),
         in_specs=in_specs,
-        out_specs=[
-            pl.BlockSpec((ec, heads), lambda w, b, c, f1, f2: (c[w], 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((rb, heads), lambda w, b, c, f1, f2: (b[w], 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((rb, heads), lambda w, b, c, f1, f2: (b[w], 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((rb, d), lambda w, b, c, f1, f2: (b[w], 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        scratch_shapes=[
-            pltpu.VMEM((ec, d), jnp.float32),
-            pltpu.VMEM((rb, heads), jnp.float32),
-            pltpu.VMEM((rb, heads), jnp.float32),
-            pltpu.VMEM((rb, d), jnp.float32),
-            pltpu.VMEM((ec, heads), jnp.float32),
-        ],
+        out_specs=out_specs,
+        scratch_shapes=scratch,
     )
-    scores, m, l, out = pl.pallas_call(
+    outs = pl.pallas_call(
         functools.partial(
             _sddmm_stats_agg_kernel, edge_chunk=ec,
             negative_slope=float(negative_slope), eps=float(eps),
             precision=precision, dropped=dropped,
+            emit_scores=emit_scores,
         ),
         grid_spec=grid_spec,
-        out_shape=[
-            jax.ShapeDtypeStruct((e_pad, heads), jnp.float32),
-            jax.ShapeDtypeStruct((num_blocks * rb, heads), jnp.float32),
-            jax.ShapeDtypeStruct((num_blocks * rb, heads), jnp.float32),
-            jax.ShapeDtypeStruct((num_blocks * rb, d), hj.dtype),
-        ],
+        out_shape=out_shape,
         cost_estimate=pl.CostEstimate(
             flops=8 * tables.num_work * ec * (tables.row_block + heads)
             * d,
@@ -612,7 +637,11 @@ def sddmm_stats_agg_sorted(
         jnp.asarray(tables.work_cfirst),
         *args,
     )
-    return out, scores[:e], m[:num_nodes], l[:num_nodes]
+    if emit_scores:
+        scores, m, l, out = outs
+        return out, scores[:e], m[:num_nodes], l[:num_nodes]
+    m, l, out = outs
+    return out, m[:num_nodes], l[:num_nodes]
 
 
 def _sddmm_bwd_kernel(

@@ -523,12 +523,17 @@ def _attend_fwd_compute(ht, att, arrays, fwd_tables, exp_tables, num_nodes,
         _mask_ss, _drop_ss = arrays
     f = att.shape[-1]
     hj = jnp.take(ht, senders, axis=0)  # [E, H*F] random gather
-    out, scores, m, l = sddmm_pallas.sddmm_stats_agg_sorted(
+    # No-score-cache mode (r5): the backward recomputes s in-register
+    # (bit-exact), so the fused forward skips the [E, H] f32 score
+    # stream — 686 MB physical at arxiv scale that r4 wrote once and
+    # read twice.
+    out, m, l = sddmm_pallas.sddmm_stats_agg_sorted(
         ht, hj, att.reshape(heads, f), tables=fwd_tables,
         num_nodes=num_nodes, edge_valid=edge_mask,
         negative_slope=negative_slope, eps=eps, drop_mask=drop_mask,
+        emit_scores=False,
     )
-    return out[:num_nodes], (hj, scores, m, l)
+    return out[:num_nodes], (hj, m, l)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8, 9))
@@ -543,11 +548,11 @@ def _gatv2_attend(ht, att, arrays, fwd_tables, exp_tables, bwd_tables,
 
 def _gatv2_attend_fwd(ht, att, arrays, fwd_tables, exp_tables, bwd_tables,
                       num_nodes, heads, negative_slope, eps):
-    out, (hj, scores, m, l) = _attend_fwd_compute(
+    out, (hj, m, l) = _attend_fwd_compute(
         ht, att, arrays, fwd_tables, exp_tables, num_nodes, heads,
         negative_slope, eps,
     )
-    return out, (ht, att, arrays, hj, scores, m, l)
+    return out, (ht, att, arrays, hj, m, l)
 
 
 # Backward strategy for the fused attend (single-chip):
@@ -586,24 +591,25 @@ def _gatv2_attend_bwd(fwd_tables, exp_tables, bwd_tables, num_nodes, heads,
     3. ``take(v, perm)`` + sorted scatter over the transposed tables —
        or, in "send" mode, the measured-slower sender-grid recompute.
     """
-    ht, att, arrays, hj, scores, m, l = res
-    _senders, receivers, _mask, perm, senders_sorted, r_ss, \
+    ht, att, arrays, hj, m, l = res
+    _senders, receivers, mask, perm, senders_sorted, r_ss, \
         drop_mask, mask_ss, drop_ss = arrays
     f = att.shape[-1]
     att_hf = att.reshape(heads, f)
 
     rho = attend_pallas.attend_rho_sorted(
-        g, scores, m, l, hj, tables=fwd_tables, eps=eps,
-        drop_mask=drop_mask,
+        g, None, m, l, hj, tables=fwd_tables, eps=eps,
+        drop_mask=drop_mask, rows=ht, att=att_hf,
+        negative_slope=negative_slope, edge_valid=mask,
     )
     use_send = ATTEND_BWD_MODE == "send" and (
         drop_mask is None or drop_ss is not None
     )
     if use_send:
         dht, datt = attend_pallas.attend_recv_bwd_full_sorted(
-            ht, g, hj, att_hf, scores, m, l, rho,
+            ht, g, hj, att_hf, None, m, l, rho,
             tables=fwd_tables, eps=eps, negative_slope=negative_slope,
-            drop_mask=drop_mask, emit_v=False,
+            drop_mask=drop_mask, emit_v=False, edge_valid=mask,
         )
         dht = dht[: ht.shape[0]]
         gb = g.astype(ht.dtype)
@@ -629,9 +635,9 @@ def _gatv2_attend_bwd(fwd_tables, exp_tables, bwd_tables, num_nodes, heads,
         dht = dht + dht_send[: ht.shape[0]]
     else:
         dht, datt, v = attend_pallas.attend_recv_bwd_full_sorted(
-            ht, g, hj, att_hf, scores, m, l, rho,
+            ht, g, hj, att_hf, None, m, l, rho,
             tables=fwd_tables, eps=eps, negative_slope=negative_slope,
-            drop_mask=drop_mask,
+            drop_mask=drop_mask, edge_valid=mask,
         )
         dht = dht[: ht.shape[0]]
         dht_send = spmm_pallas.scatter_sum_sorted(

@@ -162,12 +162,15 @@ def _attend_fwd_compute(ht_src, ht_recv, att, arrays, meta):
     fwd_tables = _unflat_tables(fwd_flat, ec, rb_fwd)
     del exp_flat  # expand tables only serve the (unused) separate sddmm
     hj = jnp.take(ht_src, senders, axis=0)
-    out, scores, m, l = sddmm_pallas.sddmm_stats_agg_sorted(
+    # No-score-cache mode (r5, same as ops/csr): the backward passes
+    # recompute s in-register, so the per-shard [E, H] f32 score stream
+    # is never materialized.
+    out, m, l = sddmm_pallas.sddmm_stats_agg_sorted(
         ht_recv, hj, att, tables=fwd_tables, num_nodes=num_local,
         edge_valid=edge_valid, negative_slope=negative_slope, eps=eps,
-        drop_mask=drop_mask,
+        drop_mask=drop_mask, emit_scores=False,
     )
-    return out[:num_local], (hj, scores, m, l)
+    return out[:num_local], (hj, m, l)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
@@ -188,21 +191,22 @@ def _attend_dist_bwd(meta, saved, g):
     per-edge sender cotangent ``v`` is permuted once and scattered into
     the full ``[L + P*H]`` source table (halo rows' cotangents return
     through exchange's transpose)."""
-    (ht_src, ht_recv, att, arrays, hj, scores, m, l) = saved
-    (_senders, _receivers, _edge_valid, perm, ss, _rss, _valid_ss,
+    (ht_src, ht_recv, att, arrays, hj, m, l) = saved
+    (_senders, _receivers, edge_valid, perm, ss, _rss, _valid_ss,
      drop_mask, fwd_flat, _exp_flat, bwd_flat) = arrays
     num_local, negative_slope, eps, ec, rb_fwd, _rb_exp, rb_bwd = meta
     fwd_tables = _unflat_tables(fwd_flat, ec, rb_fwd)
     bwd_tables = _unflat_tables(bwd_flat, ec, rb_bwd)
 
     rho = attend_pallas.attend_rho_sorted(
-        g, scores, m, l, hj, tables=fwd_tables, eps=eps,
-        drop_mask=drop_mask,
+        g, None, m, l, hj, tables=fwd_tables, eps=eps,
+        drop_mask=drop_mask, rows=ht_recv, att=att,
+        negative_slope=negative_slope, edge_valid=edge_valid,
     )
     dht_recv, datt, v = attend_pallas.attend_recv_bwd_full_sorted(
-        ht_recv, g, hj, att, scores, m, l, rho,
+        ht_recv, g, hj, att, None, m, l, rho,
         tables=fwd_tables, eps=eps, negative_slope=negative_slope,
-        drop_mask=drop_mask,
+        drop_mask=drop_mask, edge_valid=edge_valid,
     )
     dht_recv = dht_recv[: ht_recv.shape[0]]
     dht_src = spmm_pallas.scatter_sum_sorted(
