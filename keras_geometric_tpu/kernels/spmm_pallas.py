@@ -62,6 +62,7 @@ __all__ = [
     "scatter_sum_sorted",
     "expand_sorted",
     "segment_max_sorted",
+    "segment_max_wide_sorted",
     "build_row_tables",
     "RowTables",
 ]
@@ -923,3 +924,245 @@ def segment_max_sorted(
         ),
     )(wb, wc, wf, bounds, st)
     return out[:num_nodes]
+
+
+# ---------------------------------------------------------------------------
+# Wide-feature segment max (SAGE pooling aggregation) — r5, VERDICT item 6.
+#
+# segment_max_sorted above unrolls over heads (K <= 8); pooling needs the
+# max over WIDE [E, F] messages. Naive masked-max costs RB*EC*F VPU work
+# per item; this kernel instead runs a segmented Hillis-Steele MAX-SCAN
+# along the edge axis (log2(EC) steps of [EC, F] elementwise work — 25x
+# less) and then SELECTS each receiver interval's last position with a
+# one-hot MXU contraction, accumulating across chunks by running max.
+# The max has no matmul form (not a semiring the MXU speaks), which is
+# why this shape differs from every other kernel in this file.
+# ---------------------------------------------------------------------------
+
+_NEG_SENTINEL = -1e30  # finite -inf stand-in: one-hot matmuls need 0*x==0
+
+
+def _segment_max_wide_kernel(
+    wb_ref, wc_ref, wf_ref,  # SMEM scalars
+    bounds_ref,  # [1, 2, RB]
+    msgs_ref,  # [EC, F]
+    *rest,
+    edge_chunk: int,
+    masked: bool,
+):
+    refs = list(rest)
+    valid_ref = refs.pop(0) if masked else None
+    out_ref, acc_ref = refs
+    w = pl.program_id(0)
+    base = wc_ref[w] * edge_chunk
+    rb = bounds_ref.shape[2]
+    neg = jnp.float32(_NEG_SENTINEL)
+
+    lo_t = bounds_ref[0, 0:1, :]  # [1, RB]
+    hi_t = bounds_ref[0, 1:2, :]
+    gidx_t = base + jax.lax.broadcasted_iota(
+        jnp.int32, (edge_chunk, 1), 0
+    )  # [EC, 1]
+    onehot_t = jnp.where((gidx_t >= lo_t) & (gidx_t < hi_t), 1.0, 0.0)
+
+    # Distance into the edge's own segment: seg_start selected by the
+    # interval one-hot (split2 keeps the int-valued f32 exact).
+    # HIGHEST = 3-way bf16 split: reconstructs f32 (24-bit mantissa)
+    # EXACTLY for one-hot selection — split2 (16 bits) is not enough
+    # for either the int-valued seg_start (E can exceed 2^16) or the
+    # value pick below (the backward routes gradient by equality).
+    seg_start = _dots(
+        onehot_t, lo_t.reshape(rb, 1).astype(jnp.float32),
+        jax.lax.Precision.HIGHEST, ((1,), (0,)),
+    )  # [EC, 1]
+    dist = gidx_t.astype(jnp.float32) - seg_start
+
+    v = msgs_ref[:].astype(jnp.float32)
+    if masked:
+        v = jnp.where(
+            valid_ref[0, 0:1, :].reshape(edge_chunk, 1) > 0, v, neg
+        )
+    inblk = jnp.sum(onehot_t, axis=1, keepdims=True) > 0.0
+    v = jnp.where(inblk, v, neg)
+
+    # Segmented inclusive max-scan (Hillis-Steele): after step 2^k,
+    # v[e] = max over [max(seg_start_e, e-2^k+1), e].
+    sub_iota = jax.lax.broadcasted_iota(
+        jnp.int32, (edge_chunk, 1), 0
+    )
+    d = 1
+    while d < edge_chunk:
+        prev = jnp.roll(v, d, axis=0)
+        prev = jnp.where(sub_iota < d, neg, prev)
+        v = jnp.where(dist >= d, jnp.maximum(v, prev), v)
+        d *= 2
+
+    # Each row's chunk-max sits at its interval's last position in this
+    # chunk; select it with a one-hot MXU contraction (sentinel values
+    # are finite, so 0 * v is an exact 0 — no NaN leak).
+    lo_r = lo_t.reshape(rb, 1)
+    hi_r = hi_t.reshape(rb, 1)
+    eidx = base + jax.lax.broadcasted_iota(
+        jnp.int32, (1, edge_chunk), 1
+    )  # [1, EC]
+    last_pos = jnp.minimum(hi_r, base + edge_chunk) - 1  # [RB, 1]
+    # hi > lo excludes EMPTY rows (lo == hi would select edge lo-1,
+    # which belongs to some other row's segment).
+    has = (lo_r < base + edge_chunk) & (hi_r > base) & (hi_r > lo_r)
+    sel = jnp.where((eidx == last_pos) & has, 1.0, 0.0)  # [RB, EC]
+    picked = _dots(sel, v, jax.lax.Precision.HIGHEST, ((1,), (0,)))
+    picked = jnp.where(has, picked, jnp.full_like(picked, neg))
+
+    flags = wf_ref[w]
+    is_first = (flags & 1) == 1
+    is_last = (flags & 2) == 2
+
+    @pl.when(is_first)
+    def _():
+        acc_ref[:] = picked
+
+    @pl.when(jnp.logical_not(is_first))
+    def _():
+        acc_ref[:] = jnp.maximum(acc_ref[:], picked)
+
+    @pl.when(is_last)
+    def _():
+        out_ref[:] = acc_ref[:].astype(out_ref.dtype)
+
+
+def segment_max_wide_raw(
+    messages: jax.Array,  # [E, F]
+    num_nodes: int,
+    *,
+    tables: RowTables,
+    mask: jax.Array | None = None,  # [E] 1/0 validity
+) -> jax.Array:
+    """Per-receiver max of wide sorted messages -> ``[N, F]`` f32, with
+    EMPTY rows at the ``-1e30`` sentinel (callers map to the reference
+    empty-segment semantics; ops/segment.segment_max returns 0)."""
+    e, f = messages.shape
+    ec, rb = tables.edge_chunk, tables.row_block
+    nb = tables.bounds.shape[0]
+    e_pad = ((e + ec - 1) // ec) * ec
+    msgs = jnp.pad(messages, ((0, e_pad - e), (0, 0)))
+    masked = mask is not None
+    in_specs = [
+        pl.BlockSpec((1, 2, rb), lambda w, b, c, fl: (b[w], 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((ec, f), lambda w, b, c, fl: (c[w], 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    args = [jnp.asarray(tables.bounds), msgs]
+    if masked:
+        vm = jnp.pad(mask.astype(jnp.float32), (0, e_pad - e))
+        in_specs.append(
+            pl.BlockSpec((1, 1, ec), lambda w, b, c, fl: (c[w], 0, 0),
+                         memory_space=pltpu.VMEM)
+        )
+        args.append(vm.reshape(e_pad // ec, 1, ec))
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(tables.num_work,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((rb, f), lambda w, b, c, fl: (b[w], 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((rb, f), jnp.float32)],
+    )
+    out = pl.pallas_call(
+        functools.partial(
+            _segment_max_wide_kernel, edge_chunk=ec, masked=masked,
+        ),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct(
+            (tables.bounds.shape[0] * rb, f), jnp.float32
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=tables.num_work * ec * f * 12
+            + 2 * tables.num_work * ec * rb * f,
+            bytes_accessed=tables.num_work * ec * f
+            * messages.dtype.itemsize,
+            transcendentals=0,
+        ),
+    )(
+        jnp.asarray(tables.work_block),
+        jnp.asarray(tables.work_chunk),
+        jnp.asarray(tables.work_first),
+        *args,
+    )
+    del nb
+    return out
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def _segment_max_wide(messages, aux, num_nodes, tables, exp_tables):
+    receivers, mask = aux
+    del receivers  # backward-only
+    return segment_max_wide_raw(
+        messages, num_nodes, tables=tables, mask=mask
+    )[:num_nodes]
+
+
+def _segment_max_wide_fwd(messages, aux, num_nodes, tables, exp_tables):
+    receivers, mask = aux
+    raw = segment_max_wide_raw(
+        messages, num_nodes, tables=tables, mask=mask
+    )
+    return raw[:num_nodes], (messages, raw, receivers, mask)
+
+
+def _segment_max_wide_bwd(num_nodes, tables, exp_tables, res, g):
+    """Max subgradient: the cotangent routes to every element equal to
+    its segment's max (ties each receive the full gradient — the
+    measure-zero case for continuous data; matches where XLA's
+    scatter-max transpose sends it). Both expands are block-streamed
+    sorted kernels — no random access."""
+    messages, raw, receivers, mask = res
+    et = exp_tables or tables
+    e = messages.shape[0]
+    # HIGHEST: the argmax routing below matches by EQUALITY, so the
+    # expanded maxes must be bit-exact f32 (split2 is 16-bit).
+    out_e = expand_sorted(
+        raw.astype(jnp.float32), receivers, e, tables=et,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    g_pad = jnp.pad(
+        g.astype(jnp.float32),
+        ((0, raw.shape[0] - g.shape[0]), (0, 0)),
+    )
+    g_e = expand_sorted(g_pad, receivers, e, tables=et)
+    is_max = (messages.astype(jnp.float32) == out_e)
+    if mask is not None:
+        is_max = is_max & (mask > 0)[:, None]
+    dmsg = jnp.where(is_max, g_e, 0.0).astype(messages.dtype)
+    return dmsg, None
+
+
+_segment_max_wide.defvjp(_segment_max_wide_fwd, _segment_max_wide_bwd)
+
+
+def segment_max_wide_sorted(
+    messages: jax.Array,  # [E, F] receiver-sorted
+    receivers: jax.Array,  # [E] non-decreasing
+    num_nodes: int,
+    *,
+    tables: RowTables,
+    exp_tables: RowTables | None = None,
+    mask: jax.Array | None = None,  # [E] 1/0
+    empty_to_zero: bool = True,
+) -> jax.Array:
+    """Differentiable per-receiver max of wide sorted messages with the
+    reference empty-segment semantics (empty rows -> 0; ops/segment.
+    segment_max / aggregators.py:108). Backward: two sorted expands +
+    an elementwise argmax-routing — no random access (module comment).
+    ``empty_to_zero=False`` keeps empty rows at the ``-1e30`` sentinel
+    so partial maxes over SPLIT edge streams (kernel plan loc/rem)
+    combine correctly with ``jnp.maximum`` before one final fixup.
+    """
+    raw = _segment_max_wide(
+        messages, (receivers, mask), num_nodes, tables, exp_tables
+    )
+    if not empty_to_zero:
+        return raw
+    return jnp.where(
+        raw <= _NEG_SENTINEL / 2, jnp.zeros_like(raw), raw
+    )

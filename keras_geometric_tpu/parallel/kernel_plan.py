@@ -424,3 +424,73 @@ def spmm_local_overlapped(
     )
     out_remote = _scatter("rem", halo, kp_meta.rem.num_source_rows)
     return out_local + out_remote
+
+
+def pooled_max_local(
+    h_local: jax.Array,
+    shard: dict,
+    kp_meta: KernelPlan,
+    apply_mlp,
+    *,
+    axis: str = "graph",
+    message_scale: dict | None = None,
+) -> jax.Array:
+    """Per-chip kernelized SAGE *pooling* aggregation (VERDICT r4 item
+    6): per-edge MLP -> per-receiver MAX over the kernel plan's loc/rem
+    streams via :func:`spmm_pallas.segment_max_wide_sorted`.
+
+    Each stream's partial max keeps empty rows at the finite sentinel
+    (``empty_to_zero=False``) so the two streams combine with one
+    ``jnp.maximum`` before the reference empty->0 fixup — combining
+    post-fixup zeros would beat genuine negative maxes. ``apply_mlp``
+    maps the gathered ``[E, F_in]`` messages to pool space (the
+    reference's Dense+relu, sage_conv.py pooling aggregator);
+    ``message_scale`` follows the kernelized per-EDGE dropout
+    convention of :func:`spmm_local_overlapped`.
+    """
+    from ..kernels.spmm_pallas import _NEG_SENTINEL
+
+    L = kp_meta.nodes_per_part
+    ec, rb = kp_meta.loc.tables.edge_chunk, kp_meta.loc.tables.row_block
+
+    p_, h_ = shard["send_idx"].shape
+    send = jnp.take(h_local, shard["send_idx"].reshape(-1), axis=0)
+    recv = jax.lax.all_to_all(
+        send.reshape(p_, h_, -1), axis, split_axis=0, concat_axis=0
+    )
+    halo = recv.reshape(p_ * h_, h_local.shape[-1])
+
+    def _stream_max(table_prefix, source, num_source_rows):
+        sub = {
+            k[len(table_prefix) + 1:]: v
+            for k, v in shard.items() if k.startswith(table_prefix + "_")
+        }
+        bwd_flat = tuple(
+            sub[f"{k}_bwd"] for k in ("bounds", "work_block",
+                                      "work_chunk", "work_first",
+                                      "work_cfirst")
+        )
+        aux = (
+            sub["senders"], sub["perm"], sub["senders_sorted"],
+        ) + bwd_flat
+        msgs = _kp_gather(source, aux, num_source_rows, ec, rb)
+        if message_scale is not None:
+            msgs = msgs * message_scale[table_prefix][:, None]
+        msgs = apply_mlp(msgs)
+        valid = (sub["weight"] != 0).astype(jnp.float32)
+        tables = _tables_view(sub, ec, rb)
+        return spmm_pallas.segment_max_wide_sorted(
+            msgs, sub["receivers"], L, tables=tables, mask=valid,
+            empty_to_zero=False,
+        )
+
+    max_local = _stream_max("loc", h_local, kp_meta.loc.num_source_rows)
+    shard = dict(shard)
+    shard["rem_senders"] = csr.chain_after(
+        shard["rem_senders"], max_local
+    )
+    max_remote = _stream_max("rem", halo, kp_meta.rem.num_source_rows)
+    out = jnp.maximum(max_local, max_remote)
+    return jnp.where(
+        out <= _NEG_SENTINEL / 2, jnp.zeros_like(out), out
+    ).astype(h_local.dtype)

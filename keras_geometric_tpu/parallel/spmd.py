@@ -367,6 +367,14 @@ def gin_apply_local_kernelized(
                 kp_shard["in_degree"], 1e-8
             ).astype(agg.dtype)
             agg = agg / deg[:, None]
+    elif layer.aggregator == "max":
+        # Kernelized max (r5): Pallas segmented max-scan over the
+        # overlapped loc/rem streams (see sage pooling dispatch).
+        from .kernel_plan import pooled_max_local
+
+        agg = pooled_max_local(
+            x_local, kp_shard, kp_meta, lambda m: m, axis=axis
+        )
     else:
         _warn_once(
             f"gin-{layer.aggregator}",
@@ -437,6 +445,51 @@ def sage_apply_local_kernelized(
                 kp_shard["in_degree"], 1e-8
             ).astype(agg.dtype)
             agg = agg / deg[:, None]
+    elif layer.aggregator in ("max", "min", "pooling"):
+        # Kernelized extremum aggregation (r5, VERDICT r4 item 6):
+        # per-stream Pallas segmented max-scan
+        # (spmm_pallas.segment_max_wide_sorted) over the same overlapped
+        # loc/rem kernel plan; pooling applies the reference Dense+relu
+        # on the gathered edge messages first. Message dropout follows
+        # the kernelized per-EDGE convention (see the linear path).
+        from .kernel_plan import pooled_max_local
+
+        message_scale = None
+        if training and layer.dropout_rate > 0:
+            if msg_rng is None:
+                raise ValueError(
+                    "dropout requires an rng key when training"
+                )
+            keep = 1.0 - layer.dropout_rate
+            k_loc, k_rem = jax.random.split(msg_rng)
+            message_scale = {
+                prefix: jnp.where(
+                    jax.random.bernoulli(
+                        k, keep,
+                        shape=kp_shard[f"{prefix}_senders"].shape,
+                    ),
+                    1.0 / keep,
+                    0.0,
+                ).astype(x_local.dtype)
+                for prefix, k in (("loc", k_loc), ("rem", k_rem))
+            }
+        if layer.aggregator == "pooling":
+            mlp = layer._pool_mlp(x_local.shape[1])
+
+            def apply_mlp(m):
+                return mlp.apply(params["pool_mlp"], m)
+        elif layer.aggregator == "max":
+            def apply_mlp(m):
+                return m
+        else:  # min = -max(-x), empty rows 0 either way
+            def apply_mlp(m):
+                return -m
+        agg = pooled_max_local(
+            x_local, kp_shard, kp_meta, apply_mlp, axis=axis,
+            message_scale=message_scale,
+        )
+        if layer.aggregator == "min":
+            agg = -agg
     else:
         _warn_once(
             f"sage-{layer.aggregator}",
@@ -447,15 +500,9 @@ def sage_apply_local_kernelized(
         msgs, receivers, mask = _kp_xla_edges(x_local, kp_shard, axis)
         msgs = _dropout(msg_rng, msgs, layer.dropout_rate, training)
         num_local = kp_meta.nodes_per_part
-        if layer.aggregator == "pooling":
-            msgs = layer._pool_mlp(x_local.shape[1]).apply(
-                params["pool_mlp"], msgs
-            )
-            agg = segment_max(msgs, receivers, num_local, mask=mask)
-        else:
-            agg = aggregate(
-                layer.aggregator, msgs, receivers, num_local, mask=mask
-            )
+        agg = aggregate(
+            layer.aggregator, msgs, receivers, num_local, mask=mask
+        )
     out = agg @ params["lin_neigh"]["kernel"]
     if layer.root_weight:
         x_root = _dropout(root_rng, x_local, layer.dropout_rate, training)

@@ -223,3 +223,63 @@ class TestSegmentMaxSorted:
         assert np.all(np.isinf(ref) == np.isinf(got))
         finite = ~np.isinf(ref)
         np.testing.assert_allclose(got[finite], ref[finite], rtol=1e-6)
+
+
+class TestSegmentMaxWide:
+    """r5 (VERDICT r4 item 6): wide-feature segmented max-scan kernel
+    vs ops/segment.segment_max, values and gradients."""
+
+    @pytest.mark.parametrize(
+        "n,e,f,skew",
+        [
+            (300, 2000, 64, False),
+            (50, 5000, 16, True),   # hubs: segments spanning chunks
+            (1000, 100, 32, False),  # many empty rows
+            (257, 1000, 128, False),
+        ],
+    )
+    def test_matches_xla(self, n, e, f, skew):
+        from keras_geometric_tpu.ops.segment import segment_max
+
+        msgs, recv = _case(n, e, f, seed=3, skew=skew)
+        mask = (np.random.default_rng(4).random(e) > 0.1)
+        tables = K.build_row_tables(recv, n, edge_chunk=256, row_block=64)
+        ref = segment_max(
+            jnp.asarray(msgs), jnp.asarray(recv), n,
+            mask=jnp.asarray(mask), indices_are_sorted=True,
+        )
+        with pltpu.force_tpu_interpret_mode():
+            out = K.segment_max_wide_sorted(
+                jnp.asarray(msgs), jnp.asarray(recv), n, tables=tables,
+                mask=jnp.asarray(mask.astype(np.float32)),
+            )
+        np.testing.assert_allclose(out, ref, rtol=1e-6, atol=1e-6)
+
+    def test_gradients_match_xla(self):
+        from keras_geometric_tpu.ops.segment import segment_max
+
+        n, e, f = 120, 900, 32
+        msgs, recv = _case(n, e, f, seed=7)
+        mask = np.ones(e, bool)
+        tables = K.build_row_tables(recv, n, edge_chunk=128, row_block=32)
+        w = np.random.default_rng(8).standard_normal((n, f)).astype(
+            np.float32
+        )
+
+        def loss_k(m):
+            out = K.segment_max_wide_sorted(
+                m, jnp.asarray(recv), n, tables=tables,
+                mask=jnp.asarray(mask.astype(np.float32)),
+            )
+            return jnp.sum(out * w)
+
+        def loss_ref(m):
+            return jnp.sum(
+                segment_max(m, jnp.asarray(recv), n,
+                            indices_are_sorted=True) * w
+            )
+
+        with pltpu.force_tpu_interpret_mode():
+            g_k = jax.grad(loss_k)(jnp.asarray(msgs))
+        g_r = jax.grad(loss_ref)(jnp.asarray(msgs))
+        np.testing.assert_allclose(g_k, g_r, rtol=1e-5, atol=1e-6)
