@@ -19,10 +19,12 @@ if "collective_call_terminate" not in flags:
     # participants are NORMAL under suite-level memory/cache pressure —
     # the full-suite SIGABRT in test_distributed (r4) was exactly this.
     # Slow is fine; dead is not.
+    # r5: the round-5 machine adds ~60% hypervisor CPU steal on 2
+    # cores, and 1200 s was still exceeded mid-suite.
     flags += (
-        " --xla_cpu_collective_call_terminate_timeout_seconds=1200"
-        " --xla_cpu_collective_call_warn_stuck_timeout_seconds=120"
-        " --xla_cpu_collective_timeout_seconds=1200"
+        " --xla_cpu_collective_call_terminate_timeout_seconds=7200"
+        " --xla_cpu_collective_call_warn_stuck_timeout_seconds=300"
+        " --xla_cpu_collective_timeout_seconds=7200"
     )
 os.environ["XLA_FLAGS"] = flags
 
