@@ -66,6 +66,11 @@ def main():
             edge_weight=ctx_gcn.edge_weight.astype(jnp.bfloat16)
         )
         ctx = prepare_graph(ei, n, add_self_loops=True)
+        # Attention prefers edge_chunk=512 end-to-end since the r5
+        # no-score-cache pipeline (51.7 vs 66.8 ms at arxiv scale,
+        # benchmarks/noscores_probe.py); scatter-dominated layers keep
+        # 1024. Geometry is per kernel SET, not per context.
+        ctx_att = prepare_graph(ei, n, add_self_loops=True, edge_chunk=512)
 
         layers = {
             "gcn": (
@@ -76,7 +81,7 @@ def main():
             "gatv2_4h": (
                 GATv2Conv(output_dim=max(f_out // 4, 8), heads=4,
                           add_self_loops=False),
-                ctx,
+                ctx_att,
             ),
             "gin": (GINConv(output_dim=f_out), ctx),
             "sage_mean": (SAGEConv(output_dim=f_out), ctx),
@@ -119,20 +124,36 @@ def main():
             rng.standard_normal((n, 128)).astype(np.float32),
             jnp.bfloat16,
         )
-        ctx = prepare_graph(ei_sorted, n, add_self_loops=True)
         layer = GATv2Conv.for_context(output_dim=64, heads=4)
         params = layer.init(jax.random.PRNGKey(0), 128)
+        # Two variants: the plain fused pipeline, and the r5 banded-
+        # attention backward (attend_window=1024 — the windowed one-hot
+        # MXU scatter replaces the [E, H*F] permute for the ~70% of
+        # edges the LPA ordering localizes; exact math either way).
+        variants = [
+            ("arxiv_gatv2_4h_skewed",
+             prepare_graph(ei_sorted, n, add_self_loops=True,
+                           edge_chunk=512)),
+            ("arxiv_gatv2_4h_skewed_banded",
+             prepare_graph(ei_sorted, n, add_self_loops=True,
+                           edge_chunk=512, pad_nodes=True,
+                           attend_window=1024)),
+        ]
+        for vname, ctx in variants:
+            xv = x if ctx.num_nodes == n else jnp.pad(
+                x, ((0, ctx.num_nodes - n), (0, 0))
+            )
 
-        def loss(p):
-            pc = jax.tree_util.tree_map(lambda a: a.astype(x.dtype), p)
-            out = layer.apply(pc, x, context=ctx).astype(jnp.float32)
-            return jnp.sum(out * out) / n
+            def loss(p, ctx=ctx, xv=xv):
+                pc = jax.tree_util.tree_map(
+                    lambda a: a.astype(xv.dtype), p
+                )
+                out = layer.apply(pc, xv, context=ctx).astype(jnp.float32)
+                return jnp.sum(out * out) / n
 
-        res = bench_layer(
-            "arxiv_gatv2_4h_skewed", loss, params, ctx.num_edges
-        )
-        results.append(res)
-        print(json.dumps(res), flush=True)
+            res = bench_layer(vname, loss, params, ctx.num_edges)
+            results.append(res)
+            print(json.dumps(res), flush=True)
     return results
 
 

@@ -53,9 +53,218 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["BandPlan", "build_band_plan", "band_spmm"]
+__all__ = [
+    "BandPlan", "build_band_plan", "band_spmm",
+    "WindowScatterPlan", "build_window_scatter_plan", "window_scatter_sum",
+]
 
 BAND_ROW_BLOCK = 256
+
+
+# ---------------------------------------------------------------------------
+# Windowed scatter: the banded-attention backward finisher (r5).
+#
+# The fused GATv2 backward produces the per-edge sender cotangent ``v``
+# in RECEIVER-sorted order; finishing the sender side needs a scatter by
+# sender — random memory. The single-permute finish (ops/csr.py) pays a
+# take whose [E, H*F] source sits beyond the ~128 MB gather cliff
+# (~15.9 ms at arxiv scale, benchmarks/RESULTS.md r4). After a locality
+# reordering most senders of each receiver-sorted edge chunk fall into
+# ONE W-aligned window of the node axis, so their scatter needs no
+# random access at all: an equality one-hot ``hit[j, e] = (sender[e] ==
+# win_base + j)`` contracted against the message chunk on the MXU sums
+# them straight into the window rows — the same one-hot-contraction
+# trick as the sorted scatter (spmm_pallas.py), with VALUE equality
+# replacing the sorted-interval test, so arbitrary sender order inside
+# the chunk is fine. Only the residual minority (senders outside their
+# chunk's window, inter-community edges) still rides the permute — and
+# the take's cost is proportional to its INDEX count (measured r5), so
+# shrinking the permuted stream 4x shrinks its cost 4x even though the
+# source stays the full [E, H*F] array.
+#
+# Unlike the banded-dense SpMM tier above, this needs NO dense band
+# array, no symmetric fit criterion and no reordered feature windows —
+# eligibility is chosen per edge CHUNK (the window that captures the
+# most senders), computed exactly on host.
+# ---------------------------------------------------------------------------
+
+
+class WindowScatterPlan:
+    """Host-built work list for :func:`window_scatter_sum`.
+
+    A plain class (id-hashed), not a NamedTuple: it rides jit caches as
+    a ``nondiff_argnums`` operand, like ``spmm_pallas.RowTables``.
+    """
+
+    def __init__(self, work_win, work_chunk, work_flags, window,
+                 num_windows, edge_chunk, num_band_edges):
+        self.work_win = work_win  # [Wk] int32: window index of item
+        self.work_chunk = work_chunk  # [Wk] int32: edge-chunk of item
+        # bit0: first item of its window; bit1: last item of its window.
+        self.work_flags = work_flags  # [Wk] int32
+        self.window = int(window)
+        self.num_windows = int(num_windows)
+        self.edge_chunk = int(edge_chunk)
+        self.num_band_edges = int(num_band_edges)  # absorbed edge count
+
+    @property
+    def num_work(self) -> int:
+        return int(self.work_win.shape[0])
+
+
+def build_window_scatter_plan(
+    senders: np.ndarray,
+    num_nodes: int,
+    eligible: np.ndarray,
+    *,
+    window: int = 1024,
+    edge_chunk: int = 1024,
+) -> tuple[WindowScatterPlan, np.ndarray, np.ndarray]:
+    """Choose each edge chunk's best W-aligned window and split edges.
+
+    ``senders`` is the [E_pad] receiver-sorted sender array (padding
+    slots marked False in ``eligible``). Returns ``(plan, band_mask,
+    sender_tab)``: ``band_mask[e]`` marks edges whose sender falls in
+    their chunk's chosen window; ``sender_tab[e]`` is the sender id for
+    those edges and -1 otherwise (the kernel's equality one-hot then
+    never matches non-band slots). ``num_nodes`` must be a multiple of
+    ``window`` (prepare_graph's pad grain arranges this).
+    """
+    senders = np.asarray(senders, np.int64)
+    eligible = np.asarray(eligible, bool)
+    e_pad = senders.shape[0]
+    if e_pad % edge_chunk:
+        raise ValueError("senders must be padded to the edge_chunk grain")
+    if num_nodes % window:
+        raise ValueError(
+            f"num_nodes={num_nodes} must be a multiple of window={window}"
+        )
+    num_windows = num_nodes // window
+    nchunks = e_pad // edge_chunk
+    swin = senders // window  # [E_pad]
+    chunk_id = np.arange(e_pad) // edge_chunk
+    # Votes per (chunk, window) -> per-chunk argmax window.
+    key = chunk_id[eligible] * num_windows + swin[eligible]
+    votes = np.bincount(key, minlength=nchunks * num_windows)
+    votes = votes.reshape(nchunks, num_windows)
+    chosen = votes.argmax(axis=1)  # [nchunks]
+    band_mask = eligible & (swin == chosen[chunk_id])
+    sender_tab = np.where(band_mask, senders, -1).astype(np.int32)
+    # Work list: one item per (chosen window, chunk) pair that has any
+    # band edge, ordered window-major (accumulation requires items of a
+    # window to be consecutive); windows with no items still need ONE
+    # visit to initialize their output block (all-miss one-hot -> 0).
+    has = np.bincount(chunk_id[band_mask], minlength=nchunks) > 0
+    wins = chosen[has]
+    chunks = np.nonzero(has)[0]
+    order = np.lexsort((chunks, wins))
+    wins, chunks = wins[order], chunks[order]
+    missing = np.setdiff1d(np.arange(num_windows), wins)
+    if missing.size:
+        wins = np.concatenate([wins, missing])
+        chunks = np.concatenate([chunks, np.zeros_like(missing)])
+        order = np.lexsort((chunks, wins))
+        wins, chunks = wins[order], chunks[order]
+    first = np.ones(wins.shape[0], np.int32)
+    first[1:] = (wins[1:] != wins[:-1]).astype(np.int32)
+    last = np.ones(wins.shape[0], np.int32)
+    last[:-1] = (wins[1:] != wins[:-1]).astype(np.int32)
+    plan = WindowScatterPlan(
+        work_win=wins.astype(np.int32),
+        work_chunk=chunks.astype(np.int32),
+        work_flags=(first | (2 * last)).astype(np.int32),
+        window=window,
+        num_windows=num_windows,
+        edge_chunk=edge_chunk,
+        num_band_edges=int(band_mask.sum()),
+    )
+    return plan, band_mask, sender_tab
+
+
+def _win_scatter_kernel(
+    win_ref, chunk_ref, flags_ref,  # SMEM scalar-prefetch
+    sender_ref,  # [1, 1, EC] int32
+    msg_ref,  # [EC, F]
+    out_ref,  # [WINDOW, F]
+    acc_ref,  # [WINDOW, F] f32 scratch
+    *,
+    edge_chunk: int,
+    window: int,
+):
+    w = pl.program_id(0)
+    base = win_ref[w] * window
+    srow = sender_ref[0, 0, :].reshape(1, edge_chunk)
+    rows = base + jax.lax.broadcasted_iota(jnp.int32, (window, 1), 0)
+    msgs = msg_ref[:]
+    hit = jnp.where(srow == rows, 1.0, 0.0).astype(msgs.dtype)
+    contrib = jax.lax.dot_general(
+        hit, msgs, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    flags = flags_ref[w]
+
+    @pl.when((flags & 1) == 1)
+    def _():
+        acc_ref[:] = contrib
+
+    @pl.when((flags & 1) == 0)
+    def _():
+        acc_ref[:] += contrib
+
+    @pl.when((flags & 2) == 2)
+    def _():
+        out_ref[:] = acc_ref[:].astype(out_ref.dtype)
+
+
+def window_scatter_sum(
+    messages: jax.Array,
+    sender_tab: jax.Array,
+    plan: WindowScatterPlan,
+) -> jax.Array:
+    """Sum receiver-sorted ``[E, F]`` messages into their senders' rows
+    for the window-eligible edges (``sender_tab[e] >= 0``); other slots
+    contribute nothing. Returns ``[num_windows * window, F]``.
+    """
+    e, f = messages.shape
+    ec, window = plan.edge_chunk, plan.window
+    if e % ec:
+        messages = jnp.pad(messages, ((0, ec - e % ec), (0, 0)))
+    sender3d = sender_tab.reshape(-1, 1, ec)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(plan.num_work,),
+        in_specs=[
+            pl.BlockSpec((1, 1, ec), lambda w, a, c, fl: (c[w], 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((ec, f), lambda w, a, c, fl: (c[w], 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((window, f), lambda w, a, c, fl: (a[w], 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((window, f), jnp.float32)],
+    )
+    kernel = functools.partial(
+        _win_scatter_kernel, edge_chunk=ec, window=window
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct(
+            (plan.num_windows * window, f), messages.dtype
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * plan.num_work * ec * window * f,
+            bytes_accessed=(plan.num_work * ec + plan.num_windows * window)
+            * f * messages.dtype.itemsize,
+            transcendentals=0,
+        ),
+    )(
+        jnp.asarray(plan.work_win),
+        jnp.asarray(plan.work_chunk),
+        jnp.asarray(plan.work_flags),
+        sender3d,
+        messages,
+    )
 
 
 class BandPlan(NamedTuple):

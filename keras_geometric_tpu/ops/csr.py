@@ -122,6 +122,21 @@ class GraphContext(NamedTuple):
     # prepared object serves both linear (band-accelerated) and
     # attention layers.
     full: Any = None  # GraphContext | None
+    # Banded-attention backward tables (prepare_graph(attend_window=W),
+    # r5): after a locality reordering, most senders of each receiver-
+    # sorted edge chunk fall in one W-aligned node window, so the fused
+    # attend backward's sender finish scatters them via an equality
+    # one-hot MXU contraction (kernels/band_pallas.window_scatter_sum)
+    # with NO random access; only the residual minority rides the
+    # [E, H*F] permute — whose take cost is proportional to its index
+    # count (r5 measurement), so it shrinks with the residual. Exact
+    # math, any graph; pays on community-structured ones.
+    attw_plan: Any = None  # band_pallas.WindowScatterPlan | None
+    attw_sender: jax.Array | None = None  # [E_pad] int32, -1 off-window
+    attw_perm_res: jax.Array | None = None  # [Er_pad] int32 into v
+    attw_res_weight: jax.Array | None = None  # [Er_pad] f32 1/0 validity
+    attw_senders_res: jax.Array | None = None  # [Er_pad] int32 sorted
+    attw_res_tables: spmm_pallas.RowTables | None = None
 
     @property
     def num_edges(self) -> int:
@@ -336,6 +351,10 @@ class GraphContext(NamedTuple):
                 drop_mask,
                 ctx.edge_mask_ss,
                 drop_mask_ss,
+                ctx.attw_sender,
+                ctx.attw_perm_res,
+                ctx.attw_res_weight,
+                ctx.attw_senders_res,
             ),
             ctx.fwd_tables,
             ctx.expand_tables or ctx.fwd_tables,
@@ -344,6 +363,8 @@ class GraphContext(NamedTuple):
             h,
             float(negative_slope),
             float(eps),
+            ctx.attw_plan,
+            ctx.attw_res_tables,
         )
 
     def spmm(self, h: jax.Array) -> jax.Array:
@@ -519,8 +540,9 @@ def _attend_fwd_compute(ht, att, arrays, fwd_tables, exp_tables, num_nodes,
     aggregation into a single pass; the r3 two-pass layout cost ~17 ms
     at arxiv scale, benchmarks/RESULTS.md). alpha never hits HBM; padded
     slots (inside the last row's intervals) are -inf'd in-kernel."""
-    senders, receivers, edge_mask, _perm, _ss, _rss, drop_mask, \
-        _mask_ss, _drop_ss = arrays
+    senders, receivers, edge_mask, drop_mask = (
+        arrays[0], arrays[1], arrays[2], arrays[6]
+    )
     f = att.shape[-1]
     hj = jnp.take(ht, senders, axis=0)  # [E, H*F] random gather
     # No-score-cache mode (r5): the backward recomputes s in-register
@@ -536,9 +558,12 @@ def _attend_fwd_compute(ht, att, arrays, fwd_tables, exp_tables, num_nodes,
     return out[:num_nodes], (hj, m, l)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8, 9))
+@functools.partial(
+    jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8, 9, 10, 11)
+)
 def _gatv2_attend(ht, att, arrays, fwd_tables, exp_tables, bwd_tables,
-                  num_nodes, heads, negative_slope, eps):
+                  num_nodes, heads, negative_slope, eps,
+                  attw_plan=None, attw_res_tables=None):
     out, _ = _attend_fwd_compute(
         ht, att, arrays, fwd_tables, exp_tables, num_nodes, heads,
         negative_slope, eps,
@@ -547,7 +572,8 @@ def _gatv2_attend(ht, att, arrays, fwd_tables, exp_tables, bwd_tables,
 
 
 def _gatv2_attend_fwd(ht, att, arrays, fwd_tables, exp_tables, bwd_tables,
-                      num_nodes, heads, negative_slope, eps):
+                      num_nodes, heads, negative_slope, eps,
+                      attw_plan=None, attw_res_tables=None):
     out, (hj, m, l) = _attend_fwd_compute(
         ht, att, arrays, fwd_tables, exp_tables, num_nodes, heads,
         negative_slope, eps,
@@ -578,7 +604,8 @@ ATTEND_BWD_MODE = "permute"
 
 
 def _gatv2_attend_bwd(fwd_tables, exp_tables, bwd_tables, num_nodes, heads,
-                      negative_slope, eps, res, g):
+                      negative_slope, eps, attw_plan, attw_res_tables,
+                      res, g):
     """Single-permute kernel-complete backward (see ATTEND_BWD_MODE):
 
     1. ``attend_rho_sorted`` (receiver grid): the softmax-Jacobian row
@@ -589,11 +616,16 @@ def _gatv2_attend_bwd(fwd_tables, exp_tables, bwd_tables, num_nodes, heads,
        straight into d ht; emits datt and (permute mode) the per-edge
        sender cotangent ``v = alpha_keep * g[recv] + d_pre``;
     3. ``take(v, perm)`` + sorted scatter over the transposed tables —
-       or, in "send" mode, the measured-slower sender-grid recompute.
+       or, with ``attend_window=`` tables present, the banded finish:
+       window-eligible edges scatter via the equality one-hot MXU
+       kernel (no random access) and only the residual minority rides
+       a (proportionally cheaper) permute — or, in "send" mode, the
+       measured-slower sender-grid recompute.
     """
     ht, att, arrays, hj, m, l = res
-    _senders, receivers, mask, perm, senders_sorted, r_ss, \
-        drop_mask, mask_ss, drop_ss = arrays
+    (_senders, receivers, mask, perm, senders_sorted, r_ss,
+     drop_mask, mask_ss, drop_ss, attw_sender, attw_perm_res,
+     attw_res_weight, attw_senders_res) = arrays
     f = att.shape[-1]
     att_hf = att.reshape(heads, f)
 
@@ -640,13 +672,32 @@ def _gatv2_attend_bwd(fwd_tables, exp_tables, bwd_tables, num_nodes, heads,
             drop_mask=drop_mask, edge_valid=mask,
         )
         dht = dht[: ht.shape[0]]
-        dht_send = spmm_pallas.scatter_sum_sorted(
-            jnp.take(v, perm, axis=0),
-            senders_sorted,
-            num_nodes,
-            tables=bwd_tables,
-        )
-        dht = dht + dht_send[: ht.shape[0]]
+        if attw_plan is not None:
+            # Banded finish (r5): window-eligible edges sum into their
+            # senders' rows via the equality one-hot MXU contraction —
+            # receiver-sorted order is fine, no permute, no random
+            # access. The residual minority is extracted by a take
+            # whose cost tracks its INDEX count (benchmarks r5) and
+            # runs the standard sorted scatter over residual tables.
+            dht_band = band_pallas.window_scatter_sum(
+                v, attw_sender, attw_plan
+            )
+            v_res = jnp.take(v, attw_perm_res, axis=0)
+            dht_res = spmm_pallas.scatter_sum_sorted(
+                v_res, attw_senders_res, num_nodes,
+                tables=attw_res_tables, weights=attw_res_weight,
+            )
+            dht = (
+                dht + dht_band[: ht.shape[0]] + dht_res[: ht.shape[0]]
+            )
+        else:
+            dht_send = spmm_pallas.scatter_sum_sorted(
+                jnp.take(v, perm, axis=0),
+                senders_sorted,
+                num_nodes,
+                tables=bwd_tables,
+            )
+            dht = dht + dht_send[: ht.shape[0]]
     return dht.astype(ht.dtype), datt.reshape(att.shape), None
 
 
@@ -737,6 +788,8 @@ def prepare_graph(
     band_row_block: int = 256,
     pad_to: int | None = None,
     attend_full_stream: bool | None = None,
+    attend_window: int | None = None,
+    attend_window_chunk: int = 2048,
 ) -> GraphContext:
     """One-time host preprocessing into a :class:`GraphContext`.
 
@@ -773,6 +826,15 @@ def prepare_graph(
     GATv2), False for densify-only contexts (GCN-style; attention on
     them raises with instructions). ``pad_to`` forces the padded node
     count (internal — keeps the companion's shapes aligned).
+
+    ``attend_window=W`` (r5, requires ``pad_nodes=True``) builds the
+    banded-attention backward tables: each receiver-sorted edge chunk
+    gets the W-aligned node window capturing the most of its senders;
+    those edges' sender-side attend cotangents scatter via the
+    equality one-hot MXU kernel (kernels/band_pallas.py) instead of
+    the [E, H*F] permute. Unlike ``band_window=`` this stores no dense
+    band and works on any context; apply after ops/reorder locality
+    ordering for real absorption. Exact math either way.
     """
     edge_index = np.asarray(edge_index)
     if edge_index.shape[0] != 2:
@@ -788,10 +850,14 @@ def prepare_graph(
     num_real_nodes = num_nodes
     if band_window is not None and not pad_nodes:
         raise ValueError("band_window requires pad_nodes=True")
+    if attend_window is not None and not pad_nodes:
+        raise ValueError("attend_window requires pad_nodes=True")
     if pad_nodes:
         grain = max(scatter_row_block, expand_row_block)
         if band_window is not None:
             grain = max(grain, band_window // 2, band_row_block)
+        if attend_window is not None:
+            grain = max(grain, attend_window)
         num_nodes = -(-num_nodes // grain) * grain
         if band_window is not None:
             num_nodes = max(num_nodes, band_window)
@@ -929,7 +995,15 @@ def prepare_graph(
     # outside every row interval only when using explicit weights, so for
     # safety padded receivers/senders sit at num_nodes-1 with w=0).
     e_real = int(s_sorted_by_r.shape[0])
-    e_pad = ((e_real + edge_chunk - 1) // edge_chunk) * edge_chunk
+    # The windowed-attend kernel chunks the edge stream at its OWN
+    # (coarser) grain — fewer work items than the per-edge kernels'
+    # chunk, measured optimal independently (geometry is per kernel
+    # SET, not per context). Pad the stream to the common grain so no
+    # runtime re-pad pass appears.
+    e_grain = edge_chunk
+    if attend_window is not None and band_plan is None and num_diag == 0:
+        e_grain = max(edge_chunk, attend_window_chunk)
+    e_pad = ((e_real + e_grain - 1) // e_grain) * e_grain
     pad = e_pad - e_real
     last = max(num_nodes - 1, 0)
     s_p = np.concatenate([s_sorted_by_r, np.full(pad, last, np.int32)])
@@ -973,7 +1047,50 @@ def prepare_graph(
             pad_nodes=pad_nodes,
             band_window=None,
             pad_to=num_nodes if pad_nodes else None,
+            attend_window=attend_window,
+            attend_window_chunk=attend_window_chunk,
         )
+
+    # Banded-attention backward tables (attend_window=): built on the
+    # context whose CSR stream holds EVERY edge (per-edge ops route
+    # there) — this one when no band/densify split happened, otherwise
+    # the full companion above (via the recursive call).
+    attw_plan = None
+    attw_sender = attw_perm_res = attw_res_weight = attw_senders_res = None
+    attw_res_tables = None
+    if attend_window is not None and band_plan is None and num_diag == 0:
+        eligible = np.arange(e_pad) < e_real
+        attw_plan, _band_mask, sender_tab = (
+            band_pallas.build_window_scatter_plan(
+                s_p, num_nodes, eligible,
+                window=attend_window, edge_chunk=attend_window_chunk,
+            )
+        )
+        idx_res = np.nonzero(eligible & ~_band_mask)[0]
+        order_res = np.argsort(s_p[idx_res], kind="stable")
+        perm_res = idx_res[order_res].astype(np.int32)
+        er = perm_res.shape[0]
+        er_pad = max(
+            ((er + edge_chunk - 1) // edge_chunk) * edge_chunk, edge_chunk
+        )
+        padr = er_pad - er
+        # Padded residual slots point at edge 0 with weight 0 — exactly
+        # neutral regardless of v's value there.
+        perm_res = np.concatenate([perm_res, np.zeros(padr, np.int32)])
+        res_weight = np.concatenate(
+            [np.ones(er, np.float32), np.zeros(padr, np.float32)]
+        )
+        senders_res = np.concatenate(
+            [s_p[perm_res[:er]], np.full(padr, last, np.int32)]
+        )
+        attw_res_tables = spmm_pallas.build_row_tables(
+            senders_res, num_nodes,
+            edge_chunk=edge_chunk, row_block=scatter_row_block,
+        )
+        attw_sender = jnp.asarray(sender_tab)
+        attw_perm_res = jnp.asarray(perm_res)
+        attw_res_weight = jnp.asarray(res_weight)
+        attw_senders_res = jnp.asarray(senders_res)
 
     deg = full_in_degree
     return GraphContext(
@@ -1004,4 +1121,10 @@ def prepare_graph(
         band_bwd=band_plan_bwd,
         num_band_edges=0 if band_plan is None else band_plan.num_edges,
         full=full_ctx,
+        attw_plan=attw_plan,
+        attw_sender=attw_sender,
+        attw_perm_res=attw_perm_res,
+        attw_res_weight=attw_res_weight,
+        attw_senders_res=attw_senders_res,
+        attw_res_tables=attw_res_tables,
     )
