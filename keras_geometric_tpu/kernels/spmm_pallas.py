@@ -1093,31 +1093,54 @@ def segment_max_wide_raw(
     return out
 
 
+# Table ARRAYS ride the differentiable `aux` pytree, not nondiff_argnums:
+# the distributed path builds RowTables views over TRACED shard arrays
+# (parallel/kernel_plan._tables_view), and a traced array inside a
+# nondiff operand is stored by custom_vjp beyond the trace — an
+# UnexpectedTracerError on the first training step (r5 dryrun). Only the
+# static tile geometry (edge_chunk, row_block) stays nondiff — the same
+# split parallel/attend_plan.py uses.
+
+
+def _flat_tables(t: RowTables | None):
+    if t is None:
+        return None
+    return (t.bounds, t.work_block, t.work_chunk, t.work_first,
+            t.work_cfirst)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
-def _segment_max_wide(messages, aux, num_nodes, tables, exp_tables):
-    receivers, mask = aux
+def _segment_max_wide(messages, aux, num_nodes, geom, et_geom):
+    receivers, mask, t_flat, _et_flat = aux
     del receivers  # backward-only
+    tables = RowTables(*t_flat, edge_chunk=geom[0], row_block=geom[1])
     return segment_max_wide_raw(
         messages, num_nodes, tables=tables, mask=mask
     )[:num_nodes]
 
 
-def _segment_max_wide_fwd(messages, aux, num_nodes, tables, exp_tables):
-    receivers, mask = aux
+def _segment_max_wide_fwd(messages, aux, num_nodes, geom, et_geom):
+    receivers, mask, t_flat, et_flat = aux
+    tables = RowTables(*t_flat, edge_chunk=geom[0], row_block=geom[1])
     raw = segment_max_wide_raw(
         messages, num_nodes, tables=tables, mask=mask
     )
-    return raw[:num_nodes], (messages, raw, receivers, mask)
+    return raw[:num_nodes], (messages, raw, receivers, mask, t_flat,
+                             et_flat)
 
 
-def _segment_max_wide_bwd(num_nodes, tables, exp_tables, res, g):
+def _segment_max_wide_bwd(num_nodes, geom, et_geom, res, g):
     """Max subgradient: the cotangent routes to every element equal to
     its segment's max (ties each receive the full gradient — the
     measure-zero case for continuous data; matches where XLA's
     scatter-max transpose sends it). Both expands are block-streamed
     sorted kernels — no random access."""
-    messages, raw, receivers, mask = res
-    et = exp_tables or tables
+    messages, raw, receivers, mask, t_flat, et_flat = res
+    if et_flat is not None:
+        et = RowTables(*et_flat, edge_chunk=et_geom[0],
+                       row_block=et_geom[1])
+    else:
+        et = RowTables(*t_flat, edge_chunk=geom[0], row_block=geom[1])
     e = messages.shape[0]
     # HIGHEST: the argmax routing below matches by EQUALITY, so the
     # expanded maxes must be bit-exact f32 (split2 is 16-bit).
@@ -1159,7 +1182,12 @@ def segment_max_wide_sorted(
     combine correctly with ``jnp.maximum`` before one final fixup.
     """
     raw = _segment_max_wide(
-        messages, (receivers, mask), num_nodes, tables, exp_tables
+        messages,
+        (receivers, mask, _flat_tables(tables), _flat_tables(exp_tables)),
+        num_nodes,
+        (tables.edge_chunk, tables.row_block),
+        None if exp_tables is None
+        else (exp_tables.edge_chunk, exp_tables.row_block),
     )
     if not empty_to_zero:
         return raw

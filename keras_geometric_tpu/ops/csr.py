@@ -545,17 +545,28 @@ def _attend_fwd_compute(ht, att, arrays, fwd_tables, exp_tables, num_nodes,
     )
     f = att.shape[-1]
     hj = jnp.take(ht, senders, axis=0)  # [E, H*F] random gather
-    # No-score-cache mode (r5): the backward recomputes s in-register
-    # (bit-exact), so the fused forward skips the [E, H] f32 score
-    # stream — 686 MB physical at arxiv scale that r4 wrote once and
-    # read twice.
-    out, m, l = sddmm_pallas.sddmm_stats_agg_sorted(
-        ht, hj, att.reshape(heads, f), tables=fwd_tables,
-        num_nodes=num_nodes, edge_valid=edge_mask,
-        negative_slope=negative_slope, eps=eps, drop_mask=drop_mask,
-        emit_scores=False,
-    )
-    return out[:num_nodes], (hj, m, l)
+    if ATTEND_SCORE_CACHE:
+        out, scores, m, l = sddmm_pallas.sddmm_stats_agg_sorted(
+            ht, hj, att.reshape(heads, f), tables=fwd_tables,
+            num_nodes=num_nodes, edge_valid=edge_mask,
+            negative_slope=negative_slope, eps=eps, drop_mask=drop_mask,
+            emit_scores=True,
+        )
+    else:
+        # No-score-cache mode (r5, selectable): the backward recomputes
+        # s in-register (bit-exact), skipping the [E, H] f32 score
+        # stream (686 MB physical at arxiv scale, written once + read
+        # twice) — but the rho pass's recompute costs MORE than the
+        # stream saves end-to-end (benchmarks/RESULTS.md r5 correction:
+        # the original "-7.7%" read compared different edge counts).
+        scores = None
+        out, m, l = sddmm_pallas.sddmm_stats_agg_sorted(
+            ht, hj, att.reshape(heads, f), tables=fwd_tables,
+            num_nodes=num_nodes, edge_valid=edge_mask,
+            negative_slope=negative_slope, eps=eps, drop_mask=drop_mask,
+            emit_scores=False,
+        )
+    return out[:num_nodes], (hj, scores, m, l)
 
 
 @functools.partial(
@@ -574,11 +585,11 @@ def _gatv2_attend(ht, att, arrays, fwd_tables, exp_tables, bwd_tables,
 def _gatv2_attend_fwd(ht, att, arrays, fwd_tables, exp_tables, bwd_tables,
                       num_nodes, heads, negative_slope, eps,
                       attw_plan=None, attw_res_tables=None):
-    out, (hj, m, l) = _attend_fwd_compute(
+    out, (hj, scores, m, l) = _attend_fwd_compute(
         ht, att, arrays, fwd_tables, exp_tables, num_nodes, heads,
         negative_slope, eps,
     )
-    return out, (ht, att, arrays, hj, m, l)
+    return out, (ht, att, arrays, hj, scores, m, l)
 
 
 # Backward strategy for the fused attend (single-chip):
@@ -602,6 +613,16 @@ def _gatv2_attend_fwd(ht, att, arrays, fwd_tables, exp_tables, bwd_tables,
 #   random access per program.
 ATTEND_BWD_MODE = "permute"
 
+# Score cache (r5 re-adjudication): r4's fused forward emits the [E, H]
+# f32 scores so the two backward passes read instead of recompute; the
+# r5 session deleted it after comparing a 1.166M-edge no-cache run
+# against the 1.335M-edge r4 perf row — per-edge, no-cache is ~5-8%
+# SLOWER (cached 56.0/50.5 ms vs no-cache 60.4/54.1 on the uniform /
+# community perf_suite rows; the rho pass's in-register recompute costs
+# more than the score stream it saves). Cached is the default again;
+# False keeps the no-cache pipeline selectable for probes.
+ATTEND_SCORE_CACHE = True
+
 
 def _gatv2_attend_bwd(fwd_tables, exp_tables, bwd_tables, num_nodes, heads,
                       negative_slope, eps, attw_plan, attw_res_tables,
@@ -622,7 +643,7 @@ def _gatv2_attend_bwd(fwd_tables, exp_tables, bwd_tables, num_nodes, heads,
        a (proportionally cheaper) permute — or, in "send" mode, the
        measured-slower sender-grid recompute.
     """
-    ht, att, arrays, hj, m, l = res
+    ht, att, arrays, hj, scores, m, l = res
     (_senders, receivers, mask, perm, senders_sorted, r_ss,
      drop_mask, mask_ss, drop_ss, attw_sender, attw_perm_res,
      attw_res_weight, attw_senders_res) = arrays
@@ -630,7 +651,7 @@ def _gatv2_attend_bwd(fwd_tables, exp_tables, bwd_tables, num_nodes, heads,
     att_hf = att.reshape(heads, f)
 
     rho = attend_pallas.attend_rho_sorted(
-        g, None, m, l, hj, tables=fwd_tables, eps=eps,
+        g, scores, m, l, hj, tables=fwd_tables, eps=eps,
         drop_mask=drop_mask, rows=ht, att=att_hf,
         negative_slope=negative_slope, edge_valid=mask,
     )
@@ -639,7 +660,7 @@ def _gatv2_attend_bwd(fwd_tables, exp_tables, bwd_tables, num_nodes, heads,
     )
     if use_send:
         dht, datt = attend_pallas.attend_recv_bwd_full_sorted(
-            ht, g, hj, att_hf, None, m, l, rho,
+            ht, g, hj, att_hf, scores, m, l, rho,
             tables=fwd_tables, eps=eps, negative_slope=negative_slope,
             drop_mask=drop_mask, emit_v=False, edge_valid=mask,
         )
@@ -667,7 +688,7 @@ def _gatv2_attend_bwd(fwd_tables, exp_tables, bwd_tables, num_nodes, heads,
         dht = dht + dht_send[: ht.shape[0]]
     else:
         dht, datt, v = attend_pallas.attend_recv_bwd_full_sorted(
-            ht, g, hj, att_hf, None, m, l, rho,
+            ht, g, hj, att_hf, scores, m, l, rho,
             tables=fwd_tables, eps=eps, negative_slope=negative_slope,
             drop_mask=drop_mask, edge_valid=mask,
         )

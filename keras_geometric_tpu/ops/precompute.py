@@ -51,7 +51,29 @@ def precompute_propagation(
     """
     if hops < 1:
         raise ValueError(f"hops must be >= 1, got {hops}")
-    fn = jax.jit(lambda h: context.spmm(h))
+    # Banded contexts: the ~350 MB dense band array must enter the jit
+    # as a runtime ARGUMENT — a closure constant is serialized into the
+    # compile payload and the tunneled remote-compile service rejects
+    # it (HTTP 413; docs/performance.md Fact 9).
+    band = getattr(context, "band", None)
+    band_bwd = getattr(context, "band_bwd", None)
+    b_f = band.band if band is not None else None
+    b_b = band_bwd.band if band_bwd is not None else None
+    slim = context
+    if b_f is not None:
+        slim = slim._replace(band=band._replace(band=None))
+    if b_b is not None:
+        slim = slim._replace(band_bwd=band_bwd._replace(band=None))
+
+    @jax.jit
+    def fn(h, bf, bb):
+        c = slim
+        if bf is not None:
+            c = c._replace(band=c.band._replace(band=bf))
+        if bb is not None:
+            c = c._replace(band_bwd=c.band_bwd._replace(band=bb))
+        return c.spmm(h)
+
     for _ in range(hops):
-        x = fn(x)
+        x = fn(x, b_f, b_b)
     return x

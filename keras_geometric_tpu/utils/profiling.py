@@ -67,7 +67,16 @@ def timed_steps(
         return best
 
     _ = run(1)  # warm
-    return (run(k_hi) - run(k_lo)) / (k_hi - k_lo)
+    slope = (run(k_hi) - run(k_lo)) / (k_hi - k_lo)
+    # Host-load noise can push a tiny workload's slope to ~0 or below
+    # (the r5 machine adds heavy hypervisor steal); re-measure with a
+    # wider iteration spread until the signal dominates.
+    tries = 0
+    while slope <= 0 and tries < 3:
+        k_lo, k_hi = k_lo * 2, k_hi * 4
+        slope = (run(k_hi) - run(k_lo)) / (k_hi - k_lo)
+        tries += 1
+    return max(slope, 1e-9)
 
 
 @dataclasses.dataclass
