@@ -39,87 +39,15 @@ import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
 
-def _patch_interpret_mode_races():
-    """Harden Pallas TPU interpret mode against its global-state races.
+# Harden Pallas interpret mode against its global-state races (the
+# full-suite deadlock, r5) — shared with __graft_entry__.dryrun_multichip,
+# which runs WITHOUT this conftest; diagnosis and details live in the
+# module docstring.
+from keras_geometric_tpu.utils.interpret_hardening import (  # noqa: E402
+    harden_interpret_mode,
+)
 
-    Interpret mode keeps ONE module-level SharedMemory sized to the
-    initializing program's device count. jax dispatch is async, so a
-    1-device program (e.g. the single-chip reference in a parity test)
-    can overlap an 8-device shard_map program; whichever initializes
-    second hits ``assert _shared_memory.num_cores == num_cores`` INSIDE
-    an io_callback on a device thread. The assert kills that device's
-    program silently, its 7 siblings park forever at the 8-party
-    ``threading.Barrier`` (no timeout), and the main thread blocks in
-    device_get: the full-suite deadlock at test_distributed (r5;
-    faulthandler dump in benchmarks/RESULTS.md). Tests pass in
-    isolation because the overlap window needs suite-level load.
-
-    Two patches, applied before any trace captures the originals:
-
-    - ``_initialize_shared_memory``: on size conflict, WAIT for the
-      other program group's cleanup to clear the global (bounded),
-      instead of assert-crashing one device thread.
-    - ``_barrier``: wait with a timeout; a broken barrier then raises
-      in EVERY participant, so a residual mismatch fails the test
-      loudly instead of hanging the suite.
-    """
-    import time
-
-    from jax._src.pallas.mosaic.interpret import (
-        interpret_pallas_call as _ipc,
-    )
-
-    _orig_init = _ipc._initialize_shared_memory
-
-    def _patient_init(
-        device_id, num_devices, num_cores_per_device, *, interpret_params
-    ):
-        nc = int(num_devices) * int(num_cores_per_device)
-        deadline = time.time() + 1800
-        while True:
-            sm = _ipc._shared_memory
-            if sm is None or sm.num_cores == nc:
-                try:
-                    return _orig_init(
-                        device_id, num_devices, num_cores_per_device,
-                        interpret_params=interpret_params,
-                    )
-                except AssertionError:
-                    pass  # lost the init race again; wait and retry
-            if time.time() > deadline:
-                raise RuntimeError(
-                    "interpret-mode SharedMemory size conflict "
-                    f"(want {nc} cores, holder has {sm.num_cores}) "
-                    "unresolved after 1800 s"
-                )
-            time.sleep(0.005)
-
-    def _barrier_no_rendezvous(device_id):
-        """No-op unless race detection needs the clock sync.
-
-        The interpret barrier is a SECOND rendezvous domain next to
-        XLA's CPU collectives, and XLA's concurrent scheduler may order
-        the two inconsistently across devices when they are dataflow-
-        independent: the r5 faulthandler dump shows 6 devices parked at
-        this barrier while 2 sit inside a collective rendezvous (native
-        frames) — a cross-domain deadlock. This suite's interpreted
-        kernels are shard-LOCAL (no cross-device DMA or semaphores —
-        all cross-chip movement is XLA collectives outside Pallas), so
-        the barrier's only semantic payload here is the race-detector
-        clock sync; skip it when race detection is off. The cleanup
-        barrier stays: a device reaches it only after finishing every
-        collective, so it cannot cross-deadlock.
-        """
-        del device_id
-        sm = _ipc._get_shared_memory()
-        if sm.num_devices > 1 and sm.detect_races:
-            sm.barrier.wait(timeout=1800)  # raises BrokenBarrierError
-
-    _ipc._initialize_shared_memory = _patient_init
-    _ipc._barrier = _barrier_no_rendezvous
-
-
-_patch_interpret_mode_races()
+harden_interpret_mode()
 
 
 @pytest.fixture(autouse=True)
