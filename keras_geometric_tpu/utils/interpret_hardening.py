@@ -78,6 +78,30 @@ def harden_interpret_mode() -> None:
         if sm.num_devices > 1 and sm.detect_races:
             sm.barrier.wait(timeout=1800)  # raises BrokenBarrierError
 
+    def _cleanup_countdown(device_id):
+        """Last-device-clears countdown instead of a barrier.
+
+        The stock cleanup parks every device at an 8-party barrier at
+        program end — but XLA's scheduler may order a device's cleanup
+        callback before its dataflow-INDEPENDENT collectives, re-
+        creating the cross-domain deadlock there. No device touches the
+        shared memory after its own cleanup call, so waiting is
+        unnecessary: decrement, and the last participant clears the
+        global (under the module's init lock).
+        """
+        del device_id
+        with _ipc._shared_memory_init_lock:
+            sm = _ipc._shared_memory
+            if sm is None:
+                return
+            remaining = getattr(sm, "_cleanup_remaining", sm.num_devices)
+            remaining -= 1
+            if remaining <= 0:
+                _ipc._shared_memory = None
+            else:
+                sm._cleanup_remaining = remaining
+
     _ipc._initialize_shared_memory = _patient_init
     _ipc._barrier = _barrier_no_rendezvous
+    _ipc._clean_up_shared_memory = _cleanup_countdown
     _applied = True
